@@ -1,0 +1,190 @@
+"""Tile-sorted renderer, pure-XLA path.
+
+The full pipeline of the reference's `gscuda::forward`
+(/root/reference/apps/gsrast/gscuda/GSCuda.cu:695-811) as one jittable,
+end-to-end differentiable function: preprocess -> binning (non-differentiable
+integer structure, like the reference's sort) -> per-tile front-to-back blend.
+
+The blend evaluates the reference's sequential recurrence (GSCuda.cu:543-677)
+in closed form via a cumulative product along the per-tile depth-sorted axis
+(see render/dense.py for the derivation), batched over tiles, so XLA autodiff
+provides exact gradients — the correctness baseline for the hand-written
+Pallas kernels.
+
+Static-shape policy: per-tile work is capped at `max_per_tile` intersections
+(overflow counted in stats; the Pallas path walks true ranges uncapped).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as cfg
+from ..camera import Camera
+from ..ops import binning as binning_ops
+from ..ops.preprocess import Preprocessed, preprocess
+from ..scene.gaussians import ActivatedGaussians
+from .dense import RenderOutput
+
+
+def tile_pixel_coords(render_cfg: cfg.RenderConfig) -> Tuple[jax.Array, jax.Array]:
+    """Intra-tile pixel offsets, flattened row-major: (P,), (P,)."""
+    th, tw = render_cfg.tile_h, render_cfg.tile_w
+    ys = jnp.arange(th, dtype=jnp.float32)
+    xs = jnp.arange(tw, dtype=jnp.float32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    return px.reshape(-1), py.reshape(-1)
+
+
+def blend_tiles_xla(
+    prep: Preprocessed,
+    binning: binning_ops.Binning,
+    grid_h: int,
+    grid_w: int,
+    render_cfg: cfg.RenderConfig,
+    num_local_tiles: int | None = None,
+    tile_offset=0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Blend all tiles. Returns (tiles_rgb (T, P, 3), final_t (T, P),
+    n_contrib (T, P), overflow_per_tile_cap scalar).
+
+    `num_local_tiles`/`tile_offset` support the tile-sharded path: this rank
+    blends local tiles [0, num_local_tiles) whose GLOBAL ids (for pixel
+    coordinates) are tile_offset + local id.
+    """
+    num_tiles = grid_h * grid_w if num_local_tiles is None else num_local_tiles
+    tile_offset = jnp.asarray(tile_offset, jnp.int32)
+    k_tile = render_cfg.max_per_tile
+    tile_chunk = render_cfg.tile_chunk
+    background = jnp.asarray(render_cfg.background, jnp.float32)
+
+    # Per-intersection state in sorted order (gather; transposes to
+    # scatter-add in the backward pass automatically).
+    gidx = jnp.maximum(binning.sorted_gauss, 0)
+    s_mean2d = prep.mean2d[gidx]
+    s_conic = prep.conic[gidx]
+    s_color = prep.color[gidx]
+    s_opacity = jnp.where(binning.sorted_gauss >= 0, prep.opacity[gidx], 0.0)
+
+    starts = binning.tile_starts[:-1]
+    ends = binning.tile_starts[1:]
+    counts = ends - starts
+    overflow = jnp.sum(jnp.maximum(counts - k_tile, 0))
+
+    px_off, py_off = tile_pixel_coords(render_cfg)  # (P,)
+    p = px_off.shape[0]
+    capacity = binning.sorted_gauss.shape[0]
+
+    num_chunks = -(-num_tiles // tile_chunk)
+
+    def do_chunk(chunk_idx):
+        t0 = chunk_idx * tile_chunk
+        tids = jnp.minimum(t0 + jnp.arange(tile_chunk), num_tiles - 1)
+        gids = tids + tile_offset  # global tile id -> pixel coordinates
+        ty = gids // grid_w
+        tx = gids - ty * grid_w
+        # (TC, P) absolute pixel centers
+        pix_x = tx[:, None] * render_cfg.tile_w + px_off[None, :]
+        pix_y = ty[:, None] * render_cfg.tile_h + py_off[None, :]
+
+        take = starts[tids][:, None] + jnp.arange(k_tile)[None, :]  # (TC, K)
+        in_range = take < ends[tids][:, None]
+        take_c = jnp.minimum(take, capacity - 1)
+        mean2d = s_mean2d[take_c]    # (TC, K, 2)
+        conic = s_conic[take_c]      # (TC, K, 3)
+        color = s_color[take_c]      # (TC, K, 3)
+        opacity = jnp.where(in_range, s_opacity[take_c], 0.0)  # (TC, K)
+
+        dx = mean2d[..., 0:1] - pix_x[:, None, :]  # (TC, K, P)
+        dy = mean2d[..., 1:2] - pix_y[:, None, :]
+        ca, cb, cc = conic[..., 0:1], conic[..., 1:2], conic[..., 2:3]
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(
+            cfg.ALPHA_MAX, opacity[..., None] * jnp.exp(power)
+        )
+        valid = in_range[..., None] & (power <= 0.0) & (alpha >= cfg.ALPHA_MIN)
+        alpha_eff = jnp.where(valid, alpha, 0.0)
+
+        p_cum = jnp.cumprod(1.0 - alpha_eff, axis=1)  # along K
+        t_before = jnp.concatenate(
+            [jnp.ones_like(p_cum[:, :1]), p_cum[:, :-1]], axis=1
+        )
+        include = p_cum >= cfg.TRANSMITTANCE_MIN
+        w = jnp.where(include & valid, alpha_eff * t_before, 0.0)  # (TC, K, P)
+        rgb = jnp.einsum(
+            "tkp,tkc->tpc", w, color, precision=jax.lax.Precision.HIGHEST
+        )
+
+        final_t = jnp.min(
+            jnp.where(include, p_cum, jnp.inf), axis=1, initial=1.0
+        )
+        final_t = jnp.minimum(final_t, 1.0)
+        rgb = rgb + final_t[..., None] * background[None, None, :]
+
+        kidx = jnp.arange(1, k_tile + 1, dtype=jnp.int32)[None, :, None]
+        n_contrib = jnp.max(
+            jnp.where(w > 0.0, kidx, 0), axis=1, initial=0
+        ).astype(jnp.int32)
+        return rgb, final_t, n_contrib
+
+    tiles_rgb, final_t, n_contrib = jax.lax.map(
+        do_chunk, jnp.arange(num_chunks)
+    )
+    tiles_rgb = tiles_rgb.reshape(num_chunks * render_cfg.tile_chunk, p, 3)
+    final_t = final_t.reshape(num_chunks * render_cfg.tile_chunk, p)
+    n_contrib = n_contrib.reshape(num_chunks * render_cfg.tile_chunk, p)
+    return (
+        tiles_rgb[:num_tiles],
+        final_t[:num_tiles],
+        n_contrib[:num_tiles],
+        overflow,
+    )
+
+
+def untile(tiles: jax.Array, grid_h: int, grid_w: int,
+           render_cfg: cfg.RenderConfig, height: int, width: int) -> jax.Array:
+    """(T, P, ...) tile-major -> (height, width, ...) image, cropped."""
+    th, tw = render_cfg.tile_h, render_cfg.tile_w
+    trailing = tiles.shape[2:]
+    img = tiles.reshape((grid_h, grid_w, th, tw) + trailing)
+    img = jnp.moveaxis(img, 2, 1)  # (gh, th, gw, tw, ...)
+    img = img.reshape((grid_h * th, grid_w * tw) + trailing)
+    return img[:height, :width]
+
+
+def render_tiled_xla(
+    gaussians: ActivatedGaussians,
+    camera: Camera,
+    render_cfg: cfg.RenderConfig = cfg.RenderConfig(),
+    mean2d_delta=None,
+) -> RenderOutput:
+    grid_h, grid_w = render_cfg.grid_shape(camera.height, camera.width)
+    capacity = render_cfg.capacity(gaussians.means.shape[0])
+
+    prep = preprocess(gaussians, camera, render_cfg, mean2d_delta)
+    binning = binning_ops.build_binning(
+        jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg, capacity
+    )
+    tiles_rgb, final_t, n_contrib, overflow_tile = blend_tiles_xla(
+        prep, binning, grid_h, grid_w, render_cfg
+    )
+    image = untile(tiles_rgb, grid_h, grid_w, render_cfg,
+                   camera.height, camera.width)
+    final_t_img = untile(final_t, grid_h, grid_w, render_cfg,
+                         camera.height, camera.width)
+    n_contrib_img = untile(n_contrib, grid_h, grid_w, render_cfg,
+                           camera.height, camera.width)
+    stats = {
+        "num_visible": jnp.sum(prep.radius > 0),
+        "num_intersections": binning.num_intersections,
+        "overflow_capacity": binning.overflow_capacity,
+        "overflow_tile_cap": binning.overflow_tile_cap,
+        "overflow_per_tile": overflow_tile,
+        "radii": prep.radius,
+    }
+    return RenderOutput(
+        image=image, final_t=final_t_img, n_contrib=n_contrib_img, stats=stats
+    )
