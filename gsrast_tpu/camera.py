@@ -189,6 +189,23 @@ def camera_rays(camera: Camera) -> Tuple[jax.Array, jax.Array]:
     return origin, dir_world
 
 
+def debug_camera(width: int = 979, height: int = 546) -> Camera:
+    """A frozen, deterministic pose for numerical A/B comparisons — the role
+    of the reference's DebugCamera (hardcoded SIBR-captured matrices,
+    /root/reference/apps/gsrast/DebugCamera.cpp:6-17). Our values are our own
+    fixed pose, not the reference's: what matters is that every run sees the
+    identical camera."""
+    eye = jnp.array([1.25, -0.75, -2.0], jnp.float32)
+    target = jnp.array([0.0, 0.0, 0.0], jnp.float32)
+    return Camera(
+        view=look_at(eye, target),
+        fov_x=jnp.float32(1.222),
+        fov_y=jnp.float32(0.733),
+        width=width,
+        height=height,
+    )
+
+
 # ---- pose (de)serialization — replaces the LMDB cam_pose store ------------
 
 def pose_to_dict(camera: Camera) -> dict:

@@ -1,0 +1,235 @@
+"""Command-line entry points.
+
+The reference app is `main()` running a window loop over a hardcoded
+"data.ply" (/root/reference/apps/gsrast/main.cpp:4-15, GSRastWindow.cpp:24);
+SURVEY.md §5 calls for real CLI entry points instead: `render`, `info`,
+`train`, `bench`. Run as `python -m gsrast_tpu <cmd> ...`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--backend", default=None,
+                    choices=["pallas", "xla", "dense"])
+    ap.add_argument("--sh-degree", type=int, default=3)
+    ap.add_argument("--pose", default=None,
+                    help="named pose from the pose store (default: auto-frame)")
+    ap.add_argument("--store", default="gsrast_store.json",
+                    help="pose-store path (the LMDB analog)")
+
+
+def _load(scene_path: str):
+    from .scene.ply import load_ply
+
+    return load_ply(scene_path)
+
+
+def _camera(args, scene):
+    import jax.numpy as jnp
+
+    from . import config as cfg
+    from .camera import auto_frame
+    from .utils.posedb import PoseDB
+
+    width = args.width or cfg.DEFAULT_WIDTH
+    height = args.height or cfg.DEFAULT_HEIGHT
+    if args.pose:
+        cam = PoseDB(path=args.store).load(args.pose)
+        if cam is None:
+            sys.exit(f"pose {args.pose!r} not found in {args.store}")
+        return cam.replace(width=width, height=height)
+    mn, mx = scene.bbox()
+    return auto_frame(mn, mx, width, height)
+
+
+def _backend(args) -> str:
+    import jax
+
+    if args.backend:
+        return args.backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def cmd_render(argv) -> None:
+    ap = argparse.ArgumentParser(prog="gsrast_tpu render")
+    ap.add_argument("scene")
+    ap.add_argument("--out", default="render.png")
+    ap.add_argument("--mode", default="gaussians",
+                    choices=["gaussians", "ellipsoids", "pointcloud"])
+    _add_common(ap)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from . import config as cfg
+    from .render.api import render
+    from .utils.image import save_png
+    from .viz.ellipsoids import render_ellipsoids
+    from .viz.pointcloud import render_pointcloud
+
+    scene = _load(args.scene)
+    camera = _camera(args, scene)
+    act = scene.activated()
+    t0 = time.perf_counter()
+    if args.mode == "gaussians":
+        rcfg = cfg.RenderConfig(backend=_backend(args),
+                                sh_degree=min(args.sh_degree, scene.sh_degree))
+        img = render(act, camera, rcfg).image
+    elif args.mode == "ellipsoids":
+        img = render_ellipsoids(act, camera)
+    else:
+        img = render_pointcloud(act, camera)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    path = save_png(img, args.out)
+    n_pix = camera.width * camera.height
+    print(f"{args.mode}: {camera.width}x{camera.height} in {dt:.3f}s "
+          f"({n_pix / dt / 1e6:.2f} Mpix/s incl. compile) -> {path}")
+
+
+def cmd_info(argv) -> None:
+    ap = argparse.ArgumentParser(prog="gsrast_tpu info")
+    ap.add_argument("scene")
+    ap.add_argument("--gaussian", type=int, default=None,
+                    help="peek one Gaussian's render state (the CUDA panel)")
+    _add_common(ap)
+    args = ap.parse_args(argv)
+
+    from .utils.inspector import camera_report, peek_gaussian, scene_report
+
+    scene = _load(args.scene)
+    camera = _camera(args, scene)
+    report = {
+        "scene": scene_report(scene),
+        "camera": camera_report(camera),
+    }
+    if args.gaussian is not None:
+        report["gaussian"] = peek_gaussian(scene, camera, args.gaussian)
+    print(json.dumps(report, indent=2, default=str))
+
+
+def cmd_pose(argv) -> None:
+    """Pose save/restore/delete/list — the Inspector pose table
+    (Inspector.cpp:306-358) as a CLI."""
+    ap = argparse.ArgumentParser(prog="gsrast_tpu pose")
+    ap.add_argument("action", choices=["list", "save", "delete", "show"])
+    ap.add_argument("name", nargs="?")
+    ap.add_argument("--scene", default=None,
+                    help="scene to auto-frame when saving")
+    _add_common(ap)
+    args = ap.parse_args(argv)
+
+    from .camera import pose_to_dict
+    from .utils.posedb import PoseDB
+
+    db = PoseDB(path=args.store)
+    if args.action == "list":
+        print(json.dumps(db.names()))
+    elif args.action == "show":
+        cam = db.load(args.name)
+        print(json.dumps(pose_to_dict(cam) if cam else None, indent=2))
+    elif args.action == "delete":
+        print(db.delete(args.name))
+    else:  # save
+        if not args.scene:
+            sys.exit("pose save requires --scene to derive the framing")
+        scene = _load(args.scene)
+        db.save(args.name, _camera(args, scene))
+        print(f"saved {args.name!r}")
+
+
+def cmd_train(argv) -> None:
+    ap = argparse.ArgumentParser(prog="gsrast_tpu train")
+    ap.add_argument("--scene", required=True,
+                    help=".ply initialization (or 'random:N')")
+    ap.add_argument("--target", default=None,
+                    help="target image PNG for single-view fitting demo")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--ckpt-dir", default="ckpts")
+    ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument("--resume", action="store_true")
+    _add_common(ap)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import numpy as np
+
+    from . import config as cfg
+    from .render.api import render
+    from .scene.gaussians import random_scene
+    from .train import checkpoint as ckpt
+    from .train.trainer import (TrainConfig, init_train_state, make_optimizer,
+                                make_train_step, maybe_densify)
+    from .utils.image import load_png
+
+    if args.scene.startswith("random:"):
+        scene = random_scene(jax.random.PRNGKey(0),
+                             int(args.scene.split(":")[1]))
+    else:
+        scene = _load(args.scene)
+    camera = _camera(args, scene)
+    rcfg = cfg.RenderConfig(backend=_backend(args))
+
+    if args.target:
+        target = jnp.asarray(load_png(args.target))
+        camera = camera.replace(width=target.shape[1], height=target.shape[0])
+    else:
+        # Self-distillation demo: fit to the scene's own render.
+        target = render(scene.activated(), camera, rcfg).image
+
+    mn, mx = scene.bbox()
+    extent = float(np.linalg.norm(np.asarray(mx) - np.asarray(mn))) or 1.0
+    tc = TrainConfig()
+    optimizer = make_optimizer(tc, extent)
+    state = init_train_state(scene, optimizer)
+    if args.resume:
+        restored = ckpt.restore(args.ckpt_dir, state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}")
+    step_fn = jax.jit(make_train_step(rcfg, tc, optimizer))
+    key = jax.random.PRNGKey(1)
+    for i in range(int(state.step), args.steps):
+        state, metrics = step_fn(state, camera, target)
+        key, sub = jax.random.split(key)
+        state, _info = maybe_densify(state, tc, sub, extent, optimizer)
+        if i % 100 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss={float(metrics['loss']):.5f} "
+                  f"psnr={float(metrics['psnr']):.2f}")
+        if args.ckpt_every and (i + 1) % args.ckpt_every == 0:
+            ckpt.save(args.ckpt_dir, state)
+    ckpt.save(args.ckpt_dir, state)
+    print(f"done; checkpoints in {args.ckpt_dir}")
+
+
+COMMANDS = {
+    "render": cmd_render,
+    "info": cmd_info,
+    "pose": cmd_pose,
+    "train": cmd_train,
+}
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print(f"usage: python -m gsrast_tpu {{{','.join(COMMANDS)}}} ...")
+        return
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        sys.exit(f"unknown command {cmd!r}; expected one of {list(COMMANDS)}")
+    COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -5,13 +5,17 @@ TPU-native replacement for the reference's binning pipeline
 
   reference (CUDA)                        this module (XLA on TPU)
   --------------------------------        --------------------------------
-  cub InclusiveSum(tilesTouched)          jnp.cumsum
+  cub InclusiveSum(tilesTouched)          (folded into the sort below)
   numRendered readback sizes buffer       static capacity + overflow counters
-  duplicateWithKeys (scatter at offset)   fori over per-Gaussian tile slots,
-                                          vector scatter with drop semantics
-  cub RadixSort of tile<<32|depthbits     lax.sort on (tile, depth_bits) with
-                                          num_keys=2 (exact same ordering:
-                                          positive-float bits are monotone)
+  duplicateWithKeys (scatter at offset)   full (N, K) slot grid; invalid
+                                          slots get sentinel keys (TPU
+                                          scatters serialize ~50M updates/s;
+                                          sorts are ~1000x faster/element,
+                                          so ONE sort compacts AND orders)
+  cub RadixSort of tile<<32|depthbits     the same lax.sort, keys
+                                          (tile, depth_bits), num_keys=2
+                                          (exact same ordering: positive-
+                                          float bits are monotone)
   identifyTileRanges                      searchsorted over the sorted tiles
 
 The reference sizes its binning buffer with a device->host readback of the
@@ -66,61 +70,50 @@ def build_binning(
 
     tiles = prep.tiles_touched
     tiles_capped = jnp.minimum(tiles, k_max)
-    offsets = jnp.cumsum(tiles_capped) - tiles_capped  # exclusive scan
 
     depth_key_all = projection.depth_order_key(prep.depth)
     rect = prep.rect
     rw = jnp.maximum(rect.x_max - rect.x_min, 1)
 
     sentinel = jnp.int32(num_local_tiles)
-    tile_key = jnp.full((capacity,), sentinel, jnp.int32)
-    depth_key = jnp.full((capacity,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    gauss = jnp.full((capacity,), -1, jnp.int32)
 
-    # When sharded, each device only materializes its own tiles' keys; slots
-    # for other devices' tiles are compacted away *before* the scatter so the
-    # local capacity can be ~1/D of the global one. We do that by giving every
-    # (gaussian, k) pair a local destination computed from a per-gaussian
-    # local-count scan.
-    def local_tile_of(k):
-        ry = k // rw
-        rx = k - ry * rw
-        tile = (rect.y_min + ry) * grid_w + (rect.x_min + rx)
-        local = tile - tile_lo
-        in_range = (local >= 0) & (local < num_local_tiles)
-        return jnp.where(in_range, local, sentinel)
+    # TPU scatter ops serialize (~50M updates/s measured); sorts are ~3 orders
+    # of magnitude faster per element (lax.sort of 800k 2-key keys: 0.35 ms).
+    # So instead of CUDA-style scatter-at-offset compaction, the full (N, K)
+    # slot grid is materialized and ONE sort both compacts (invalid slots
+    # carry sentinel keys that sink to the end and fall off the truncation)
+    # and orders by (tile | depth). Memory: 3 int32 (N, K) arrays — keep
+    # max_tiles_per_gaussian modest at large N (16 at N=1M is 192 MB).
+    ks = jnp.arange(k_max, dtype=jnp.int32)[None, :]  # (1, K)
+    ry = ks // rw[:, None]
+    rx = ks - ry * rw[:, None]
+    tile = (rect.y_min[:, None] + ry) * grid_w + (rect.x_min[:, None] + rx)
+    local = tile - tile_lo
+    in_range = (local >= 0) & (local < num_local_tiles)
+    valid = (ks < tiles_capped[:, None]) & in_range  # (N, K)
 
-    # Count local intersections per gaussian for compact offsets.
-    def count_body(k, acc):
-        lt = local_tile_of(k)
-        return acc + ((k < tiles_capped) & (lt < sentinel)).astype(jnp.int32)
+    tile_key = jnp.where(valid, local, sentinel).reshape(-1)
+    depth_key = jnp.where(
+        valid, depth_key_all[:, None], jnp.iinfo(jnp.int32).max
+    ).reshape(-1)
+    gauss = jnp.where(
+        valid, jnp.arange(n, dtype=jnp.int32)[:, None], -1
+    ).reshape(-1)
+    total = jnp.sum(valid, dtype=jnp.int32)
 
-    local_counts = jax.lax.fori_loop(
-        0, k_max, count_body, jnp.zeros((n,), jnp.int32)
-    )
-    local_offsets = jnp.cumsum(local_counts) - local_counts
-    total = local_offsets[-1] + local_counts[-1]
-
-    def body(k, carry):
-        tile_key, depth_key, gauss, cursor = carry
-        lt = local_tile_of(k)
-        valid = (k < tiles_capped) & (lt < sentinel)  # (N,)
-        dest = jnp.where(valid, local_offsets + cursor, capacity)
-        tile_key = tile_key.at[dest].set(lt, mode="drop")
-        depth_key = depth_key.at[dest].set(depth_key_all, mode="drop")
-        gauss = gauss.at[dest].set(
-            jnp.arange(n, dtype=jnp.int32), mode="drop"
-        )
-        return tile_key, depth_key, gauss, cursor + valid.astype(jnp.int32)
-
-    tile_key, depth_key, gauss, _ = jax.lax.fori_loop(
-        0, k_max, body,
-        (tile_key, depth_key, gauss, jnp.zeros((n,), jnp.int32)),
-    )
+    if tile_key.shape[0] < capacity:  # static: pad so truncation is a no-op
+        pad = capacity - tile_key.shape[0]
+        tile_key = jnp.concatenate(
+            [tile_key, jnp.full((pad,), sentinel, jnp.int32)])
+        depth_key = jnp.concatenate(
+            [depth_key, jnp.full((pad,), jnp.iinfo(jnp.int32).max, jnp.int32)])
+        gauss = jnp.concatenate([gauss, jnp.full((pad,), -1, jnp.int32)])
 
     sorted_tile, _, sorted_gauss = jax.lax.sort(
         (tile_key, depth_key, gauss), dimension=0, num_keys=2, is_stable=True
     )
+    sorted_tile = sorted_tile[:capacity]
+    sorted_gauss = sorted_gauss[:capacity]
     tile_starts = jnp.searchsorted(
         sorted_tile, jnp.arange(num_local_tiles + 1, dtype=jnp.int32),
         side="left",

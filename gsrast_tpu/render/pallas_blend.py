@@ -239,6 +239,13 @@ def _backward_kernel(
     dc_b = drgb_ref[0, 2]
     dft = dft_ref[0]
 
+    # Chunks entirely past the tile's last contributor have zero gradient
+    # everywhere (forward saturation stopped before them): their output is a
+    # straight zero-fill with no feature read and no blend replay. This is
+    # the backward mirror of the forward early-termination skip.
+    nc_max = jnp.max(nc)
+    nchunks_live = jnp.minimum(nchunks, (nc_max + CHUNK - 1) // CHUNK)
+
     def get_read(slot, k):
         return pltpu.make_async_copy(
             feat_ref.at[pl.ds(row0 + k * ROWS, ROWS), :],
@@ -253,11 +260,22 @@ def _backward_kernel(
             osems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
+    def zero_body(k, _):
+        wdma = get_write(0, k)
+        wdma.start()
+        wdma.wait()
+        return 0
+
+    @pl.when(nchunks_live < nchunks)
     def _():
-        # First processed chunk is nchunks-1; its buffer slot is parity-based,
-        # NOT 0 (slot/semaphore mismatch deadlocks or double-signals).
-        get_read(jax.lax.rem(nchunks - 1, 2), nchunks - 1).start()
+        obuf[0] = jnp.zeros((ROWS, 128), jnp.float32)
+        jax.lax.fori_loop(nchunks_live, nchunks, zero_body, 0)
+
+    @pl.when(nchunks_live > 0)
+    def _():
+        # First processed chunk is nchunks_live-1; its buffer slot is parity-
+        # based, NOT 0 (slot/semaphore mismatch deadlocks or double-signals).
+        get_read(jax.lax.rem(nchunks_live - 1, 2), nchunks_live - 1).start()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
@@ -337,10 +355,10 @@ def _backward_kernel(
         return t_run, acc_r, acc_g, acc_b
 
     def chunk_body(i, carry):
-        k = nchunks - 1 - i  # reverse chunk order
+        k = nchunks_live - 1 - i  # reverse chunk order
         slot = jax.lax.rem(k, 2)
 
-        @pl.when(i + 1 < nchunks)
+        @pl.when(i + 1 < nchunks_live)
         def _():
             get_read(jax.lax.rem(k - 1, 2), k - 1).start()
 
@@ -361,7 +379,7 @@ def _backward_kernel(
         jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.float32),
     )
-    jax.lax.fori_loop(0, nchunks, chunk_body, init)
+    jax.lax.fori_loop(0, nchunks_live, chunk_body, init)
 
 
 def blend_backward(

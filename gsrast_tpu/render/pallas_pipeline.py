@@ -46,9 +46,16 @@ def _use_interpret() -> bool:
 def pad_segments(
     binning: binning_ops.Binning, num_tiles: int, padded_capacity: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Re-scatter the sorted intersection list so every tile's segment starts
-    at a multiple of CHUNK (=128). Returns (sorted_gauss_padded (C_pp,),
-    tile_starts_padded (T+1,)). Padding slots hold gaussian -1."""
+    """Re-pack the sorted intersection list so every tile's segment starts at
+    a multiple of CHUNK (=128). Returns (sorted_gauss_padded (C_pp,),
+    tile_starts_padded (T+1,)). Padding slots hold gaussian -1.
+
+    Scatter-free: a TPU scatter of C elements costs ~ms; instead, CHUNK
+    filler entries per tile are appended (the j-th filler of tile t live iff
+    j < pad_needed[t], dead fillers keyed past every real tile) and ONE merge
+    sort of (C + T*CHUNK) = padded_capacity entries lands every filler at its
+    tile's segment end. Position within the already-(tile|depth)-sorted input
+    is the tiebreak key, so real entries keep their depth order."""
     starts = binning.tile_starts
     counts = starts[1:] - starts[:-1]
     pcounts = ((counts + pb.CHUNK - 1) // pb.CHUNK) * pb.CHUNK
@@ -56,16 +63,28 @@ def pad_segments(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts).astype(jnp.int32)]
     )
     c = binning.sorted_gauss.shape[0]
-    src = jnp.arange(c, dtype=jnp.int32)
-    tile = binning.sorted_tile
-    valid = tile < num_tiles
-    tile_c = jnp.minimum(tile, num_tiles - 1)
-    dest = jnp.where(
-        valid, pstarts[tile_c] + (src - starts[tile_c]), padded_capacity
+    imax = jnp.iinfo(jnp.int32).max
+
+    fill_live = (
+        jnp.arange(pb.CHUNK, dtype=jnp.int32)[None, :]
+        < (pcounts - counts)[:, None]
+    )  # (T, CHUNK)
+    fill_tile = jnp.where(
+        fill_live, jnp.arange(num_tiles, dtype=jnp.int32)[:, None], num_tiles
+    ).reshape(-1)
+
+    key_tile = jnp.concatenate([binning.sorted_tile, fill_tile])
+    key_pos = jnp.concatenate(
+        [jnp.arange(c, dtype=jnp.int32), jnp.full((num_tiles * pb.CHUNK,), imax)]
     )
-    sg_padded = jnp.full((padded_capacity,), -1, jnp.int32).at[dest].set(
-        binning.sorted_gauss, mode="drop"
+    payload = jnp.concatenate(
+        [binning.sorted_gauss, jnp.full((num_tiles * pb.CHUNK,), -1, jnp.int32)]
     )
+    _, _, sg_padded = jax.lax.sort(
+        (key_tile, key_pos, payload), dimension=0, num_keys=2, is_stable=False
+    )
+    assert sg_padded.shape[0] == padded_capacity, (
+        sg_padded.shape, padded_capacity)
     return sg_padded, pstarts
 
 
@@ -74,18 +93,24 @@ def pack_features(prep, sorted_gauss: jax.Array) -> jax.Array:
     rows, packed 8 gaussians per 128-lane row: (C_pp // 8, 128).
     Differentiable: the VJP of the gather is the per-Gaussian scatter-add."""
     c = sorted_gauss.shape[0]
-    gidx = jnp.maximum(sorted_gauss, 0)
-    live = sorted_gauss >= 0
-    feat = jnp.concatenate(
+    n = prep.mean2d.shape[0]
+    # Assemble (N, 16) once, then ONE row gather (a single contiguous-row
+    # gather is several times faster than four separate column gathers on
+    # TPU); dead slots (gauss -1) are zeroed wholesale, which makes them
+    # numerically inert (opacity 0 -> alpha 0).
+    feat_n = jnp.concatenate(
         [
-            prep.mean2d[gidx],                       # 0:2
-            prep.conic[gidx],                        # 2:5
-            jnp.where(live, prep.opacity[gidx], 0.0)[:, None],  # 5
-            prep.color[gidx],                        # 6:9
-            jnp.zeros((c, pb.NFEAT - 9), jnp.float32),
+            prep.mean2d,                             # 0:2
+            prep.conic,                              # 2:5
+            prep.opacity[:, None],                   # 5
+            prep.color,                              # 6:9
+            jnp.zeros((n, pb.NFEAT - 9), jnp.float32),
         ],
         axis=1,
     )
+    gidx = jnp.maximum(sorted_gauss, 0)
+    live = (sorted_gauss >= 0).astype(jnp.float32)[:, None]
+    feat = feat_n[gidx] * live
     return feat.reshape(c // pb.GPR, pb.GPR * pb.NFEAT)
 
 

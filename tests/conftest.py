@@ -7,7 +7,10 @@ path; see __graft_entry__.py). Must set XLA flags before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel); tests must
+# override it unconditionally, not setdefault, or the whole suite runs
+# single-filed against one remote TPU chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Belt and braces: the axon sitecustomize registers the TPU plugin before
+# conftest runs, so the env var alone may be read too early to stick.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: CPU test-compile here is slow (multi-second per
 # jit); cache across runs keeps the suite fast.

@@ -58,18 +58,20 @@ class TestDenseOracle:
     def test_single_gaussian_peak_alpha(self):
         """One opaque isotropic gaussian at center: peak pixel alpha ~= opacity."""
         scene = random_scene(jax.random.PRNGKey(0), 1, sh_degree=0)
+        # scale 0.35 at depth 4 -> sigma ~ 15 px, so the <=0.5 px offset
+        # between the projected center and the nearest pixel center changes
+        # alpha by < 0.2% (at sigma ~ 1 px that offset alone costs ~10%).
         scene = scene.replace(
             means=jnp.array([[0.0, 0.0, 0.0]]),
-            log_scales=jnp.log(jnp.full((1, 3), 0.1)),
+            log_scales=jnp.log(jnp.full((1, 3), 0.35)),
             quats=jnp.array([[1.0, 0.0, 0.0, 0.0]]),
             opacity_logits=jnp.array([2.0]),  # sigmoid -> 0.8808
         )
         cam = make_camera(64, 64)
         out = render_dense(scene.activated(), cam, small_cfg())
         opacity = float(jax.nn.sigmoid(2.0))
-        # center pixel: dx,dy ~ 0.5px max, power ~ 0 -> alpha ~= opacity
-        t_center = float(out.final_t[32, 32])
-        assert abs((1.0 - t_center) - opacity) < 0.02
+        peak = float(jnp.max(1.0 - out.final_t))
+        assert abs(peak - opacity) < 0.02
 
     def test_front_to_back_ordering(self):
         """A red gaussian in front of a blue one: result dominated by red."""
@@ -133,10 +135,16 @@ class TestTiledMatchesDense:
 
 
 class TestGradients:
-    def test_grad_matches_dense(self, scene_small):
-        """jax.grad through the tiled pipeline == grad through the oracle."""
+    def test_grad_matches_dense(self):
+        """jax.grad through the tiled pipeline == grad through the oracle.
+
+        Anisotropic scene: with isotropic gaussians the quats gradient is
+        exactly zero (rotation of a sphere is unobservable), which would make
+        the nonzero-gradient assertion below vacuous-impossible."""
         from gsrast_tpu.scene.gaussians import merge_params, split_params
 
+        scene_small = random_scene(jax.random.PRNGKey(3), 200, sh_degree=0,
+                                   isotropic=False, scale_range=(0.02, 0.08))
         cam = make_camera(64, 64)
         cfg = small_cfg()
         target = jnp.zeros((64, 64, 3))

@@ -1,0 +1,124 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh
+(SURVEY.md §4 tier 4: multi-host logic without a cluster). Checks that the
+tile-sharded render equals the single-device render bit-for-bit in structure
+and allclose numerically, and that the DP+tile-sharded train step runs and
+produces finite, replicated-consistent gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gsrast_tpu import Camera, RenderConfig, random_scene
+from gsrast_tpu.camera import look_at
+from gsrast_tpu.parallel.mesh import make_mesh
+from gsrast_tpu.parallel.sharded import (make_sharded_train_step,
+                                         render_tile_sharded)
+from gsrast_tpu.render.tiled import render_tiled_xla
+from gsrast_tpu.scene.gaussians import split_params
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+CFG = RenderConfig(max_per_tile=256, tile_chunk=2,
+                   intersect_capacity_factor=16.0,
+                   background=(0.05, 0.1, 0.15))
+
+
+def make_camera(w=256, h=16):
+    # 2 x 2 grid of 8x128 tiles
+    return Camera(
+        view=look_at(jnp.array([0.0, 0.0, -3.0]), jnp.zeros(3)),
+        fov_x=jnp.float32(1.2), fov_y=jnp.float32(1.0), width=w, height=h,
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return random_scene(jax.random.PRNGKey(11), 256, sh_degree=1,
+                        scale_range=(0.02, 0.1))
+
+
+class TestTileSharded:
+    def test_matches_single_device(self, scene):
+        camera = make_camera()
+        mesh = make_mesh((1, 4), jax.devices()[:4])
+        ref = render_tiled_xla(scene.activated(), camera, CFG)
+        out = render_tile_sharded(scene.activated(), camera, CFG, mesh)
+        np.testing.assert_allclose(
+            np.asarray(out.image), np.asarray(ref.image), atol=2e-5
+        )
+
+    def test_gradients_match_single_device(self, scene):
+        camera = make_camera()
+        mesh = make_mesh((1, 4), jax.devices()[:4])
+        act = scene.activated()
+
+        def loss_sharded(means):
+            a = act.replace(means=means)
+            return jnp.sum(render_tile_sharded(a, camera, CFG, mesh).image)
+
+        def loss_ref(means):
+            a = act.replace(means=means)
+            return jnp.sum(render_tiled_xla(a, camera, CFG).image)
+
+        g_sh = jax.grad(loss_sharded)(act.means)
+        g_ref = jax.grad(loss_ref)(act.means)
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_ref), atol=5e-4, rtol=1e-3
+        )
+
+
+class TestShardedTrainStep:
+    def test_runs_and_finite(self, scene):
+        mesh = make_mesh((2, 4), jax.devices()[:8])
+        camera = make_camera()
+        params, mask = split_params(scene)
+        n_data = 2
+        cams = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_data,) + x.shape), camera
+        )
+        targets = jnp.zeros((n_data, camera.height, camera.width, 3),
+                            jnp.float32)
+        optimizer = optax.adam(1e-3)
+        opt_state = optimizer.init(params)
+        step = jax.jit(make_sharded_train_step(
+            CFG, mesh, camera.height, camera.width, cameras_per_device=1,
+            optimizer=optimizer,
+        ))
+        new_params, _, loss, grads = step(params, mask, opt_state, cams,
+                                          targets)
+        assert bool(jnp.isfinite(loss))
+        gnorm = jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(grads)))
+        assert bool(jnp.isfinite(gnorm)) and float(gnorm) > 0.0
+        # params actually moved
+        assert not np.allclose(np.asarray(new_params["means"]),
+                               np.asarray(params["means"]))
+
+    def test_loss_matches_unsharded(self, scene):
+        """The sharded per-step loss equals the plain single-device loss of
+        the same batch (communication does not change the math)."""
+        from gsrast_tpu.render.api import render
+        from gsrast_tpu.train.loss import rgb_loss
+
+        mesh = make_mesh((2, 4), jax.devices()[:8])
+        camera = make_camera()
+        params, mask = split_params(scene)
+        n_data = 2
+        cams = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_data,) + x.shape), camera
+        )
+        targets = jnp.zeros((n_data, camera.height, camera.width, 3),
+                            jnp.float32)
+        step = jax.jit(make_sharded_train_step(
+            CFG, mesh, camera.height, camera.width, cameras_per_device=1,
+            optimizer=None,
+        ))
+        _, _, loss, _ = step(params, mask, None, cams, targets)
+
+        img = render(scene.activated(), camera, CFG).image
+        ref = rgb_loss(img, targets[0], 0.2)
+        np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5,
+                                   atol=1e-6)
