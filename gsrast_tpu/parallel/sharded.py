@@ -195,10 +195,8 @@ def make_sharded_train_step(
             all_ft = jax.lax.all_gather(
                 final_t, TILE_AXIS, axis=0, tiled=True
             )[:num_tiles]
+            del all_ft  # background is already composited by blend_tiles_xla
             image = untile(all_tiles, grid_h, grid_w, render_cfg, height, width)
-            ft_img = untile(all_ft, grid_h, grid_w, render_cfg, height, width)
-            bg = jnp.asarray(render_cfg.background, jnp.float32)
-            image = image + ft_img[..., None] * bg
             return rgb_loss(image, tgt, ssim_weight)
 
         losses = [

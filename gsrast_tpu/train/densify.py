@@ -59,6 +59,7 @@ def accumulate_stats(
 def _compact_indices(flags: jax.Array, limit: int) -> Tuple[jax.Array, jax.Array]:
     """Indices of up-to-`limit` True flags (padded with capacity), plus count."""
     m = flags.shape[0]
+    limit = min(limit, m)  # a budget beyond capacity is just capacity
     order = jnp.argsort(~flags, stable=True)  # True flags first
     count = jnp.sum(flags.astype(jnp.int32))
     take = order[:limit]

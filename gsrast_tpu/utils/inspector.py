@@ -64,6 +64,8 @@ def camera_report(camera: Camera) -> Dict:
             float(jnp.rad2deg(camera.fov_y)),
         ],
         "near_far": [float(camera.znear), float(camera.zfar)],
+        "width": camera.width,
+        "height": camera.height,
         "image": [camera.width, camera.height],
     }
 

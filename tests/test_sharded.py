@@ -64,8 +64,10 @@ class TestTileSharded:
             a = act.replace(means=means)
             return jnp.sum(render_tiled_xla(a, camera, CFG).image)
 
-        g_sh = jax.grad(loss_sharded)(act.means)
-        g_ref = jax.grad(loss_ref)(act.means)
+        # shard_map AD must run under jit (eager grad of shard_map trips
+        # XLA sharding-override asserts in current JAX).
+        g_sh = jax.jit(jax.grad(loss_sharded))(act.means)
+        g_ref = jax.jit(jax.grad(loss_ref))(act.means)
         np.testing.assert_allclose(
             np.asarray(g_sh), np.asarray(g_ref), atol=5e-4, rtol=1e-3
         )
