@@ -4,33 +4,41 @@ TPU-native re-creation of the reference's hottest kernel pair — the tile blend
 (/root/reference/apps/gsrast/gscuda/GSCuda.cu:543-677) plus the hand-derived
 backward the reference never implemented (SURVEY.md §2.3 "no backward pass").
 
-Mapping CUDA -> TPU:
-  * one 16x16-thread block per tile, each thread = 1 pixel
-      -> one sequential grid step per 8x128-pixel tile; the whole tile's
-         pixels live in a single f32 (sublane, lane) vector register, so each
-         per-Gaussian blend update is a handful of full-tile VPU ops.
-  * cooperative shared-memory staging of 256 Gaussians per round
-      (GSCuda.cu:576-614)
-      -> double-buffered async DMA of 128-Gaussian feature chunks from HBM
-         into VMEM, overlapped with compute.
-  * per-pixel early termination when T (1-alpha) < 1e-4 (GSCuda.cu:652-658)
-      -> per-tile chunk skip once every pixel has saturated (vector test);
-         in-flight DMAs still drain so semaphores stay balanced.
-  * atomic-free gradient accumulation: the backward walks each tile's
-    intersection list in reverse (the standard diff-gaussian-rasterization
-    recurrence), writing per-INTERSECTION gradients; the per-Gaussian
-    reduction is a segment-sum outside the kernel (each intersection belongs
-    to exactly one tile, so there are no write races by construction).
-
-Feature packing (TPU alignment rules force this layout): intersections arrive
-depth-sorted per tile with every tile's segment padded to a multiple of 128
-entries. Features are packed 8 Gaussians per 128-lane row:
-    packed[(seg + g) // 8, (g % 8) * 16 + f]  ==  feature f of gaussian g,
-f in [mean_x, mean_y, conic_a, conic_b, conic_c, opacity, r, g, b, 0...].
-A 128-gaussian chunk is a (16, 128) slice — sublane-offset-aligned because
-segment starts are 128-multiples — and scalar reads use a dynamic SUBLANE
-index with STATIC lane offsets (the unrolled g%8), which Mosaic supports;
-dynamic-lane reads and non-128 lane slices do not exist on this hardware.
+Layout (the round-2 redesign: zero scalar reads, MXU for the reductions):
+  * PIXELS live in SUBLANES, GAUSSIANS live in LANES. Each grid step owns one
+    tile of P = tile_h * tile_w pixels; every intermediate is a (P, 128) f32
+    array: 128 depth-ordered gaussians (one chunk) blended against all P
+    pixels by full-width VPU ops.
+  * Features are packed TRANSPOSED and in GLOBAL depth-sorted order: chunk k
+    covers sorted intersections [128k, 128k+128) as a (16, 128) block — row f
+    holds feature f of 128 gaussians:
+        rows [mx, my, conic_a, conic_b, conic_c, opacity, r, g, b, tile, 0..].
+    A feature vector is a (1, 128) sublane read that broadcasts against the
+    (P, 1) pixel coordinates — no scalar VMEM reads anywhere.
+  * Tile segments are NOT padded to chunk boundaries (round 2 removed the
+    whole re-padding stage): tile t walks chunks floor(start/128) ..
+    ceil(end/128); lanes belonging to a neighboring tile in the shared
+    boundary chunks are masked off by comparing feature row 9 (the tile id)
+    against the current tile. In the backward, the FIRST tile covering a
+    chunk writes its gradient block, and later tiles ACCUMULATE into it with
+    a read-modify-write — safe because TPU Pallas grid steps execute
+    sequentially on the core.
+  * The sequential blend recurrence T *= (1 - alpha) is evaluated in closed
+    form per chunk: a log-step cumulative product along lanes (7 shifted
+    multiplies), exactly the same closed form the XLA oracle uses
+    (render/tiled.py), so forward results match the oracle bit-for-bit in
+    ordering semantics.
+  * Color accumulation C += sum_g w_g c_g is ONE MXU matmul per chunk:
+    w (P, 128) @ feat^T (128, 16) accumulates every feature column at once
+    (rgb lands in columns 6:9). precision=HIGHEST keeps it f32-exact.
+  * The backward's per-gaussian suffix sums (the Inria reverse recurrence)
+    collapse to ONE MXU matmul with a strictly-lower-triangular mask, and the
+    per-feature gradient reductions are sublane sums to (1, 128) rows —
+    replacing round 1's 9-full-tile-reductions-PER-GAUSSIAN with 9 per CHUNK.
+  * CUDA shared-memory staging of 256 gaussians (GSCuda.cu:576-614) maps to
+    double-buffered async DMA of (16, 128) chunks, overlapped with compute;
+    per-pixel early termination (GSCuda.cu:652-658) maps to a per-tile chunk
+    skip once every pixel saturates.
 
 Blend math (identical semantics to GSCuda.cu:634-676):
   power = -1/2 (A dx^2 + C dy^2) - B dx dy        [dx = mean - pixel]
@@ -51,49 +59,93 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config as cfg
 
-TILE_H = 8
-TILE_W = 128
-CHUNK = 128  # gaussians per DMA chunk (a (16, 128) packed block)
-NFEAT = 16  # feature stride within a row (9 used)
-GPR = 8  # gaussians per packed row
-ROWS = CHUNK // GPR  # 16 rows per chunk
+CHUNK = 128  # gaussians per chunk (the lane width)
+FROWS = 16  # feature rows per chunk (9 used)
 
-# feature indices
-F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B = range(9)
+# feature row indices within a chunk block
+F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_TID = range(10)
+# output columns of the (P, 16) per-tile result
+OC_FT = 0   # final transmittance (overwrites the junk w·mx accumulation)
+OC_NC = 1   # n_contrib as f32 (exact below 2^24)
+OC_R, OC_G, OC_B = F_R, F_G, F_B  # rgb columns land where the matmul puts them
+
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _pixel_grids(t, grid_w):
+def _pixel_coords(t, grid_w: int, tile_h: int, tile_w: int):
+    """Absolute pixel centers of tile t as (P, 1) f32 columns."""
+    p = tile_h * tile_w
     ty = t // grid_w
     tx = t - ty * grid_w
-    # Mosaic requires integer iota; cast afterwards.
-    ix = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    px = (tx * TILE_W + ix).astype(jnp.float32)
-    py = (ty * TILE_H + iy).astype(jnp.float32)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    prow = pidx // tile_w
+    pcol = pidx - prow * tile_w
+    px = (tx * tile_w + pcol).astype(jnp.float32)
+    py = (ty * tile_h + prow).astype(jnp.float32)
     return px, py
 
 
+def _shift_lanes(x: jax.Array, k: int, fill: float) -> jax.Array:
+    """result[:, l] = x[:, l-k] for l >= k, else fill (static k)."""
+    p = x.shape[0]
+    return jnp.concatenate(
+        [jnp.full((p, k), fill, x.dtype), x[:, : x.shape[1] - k]], axis=1
+    )
+
+
+def _cumprod_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative product along lanes (Hillis-Steele, 7 steps)."""
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        x = x * _shift_lanes(x, k, 1.0)
+    return x
+
+
+def _alpha_terms(f, px, py, t_f32):
+    """Shared forward/backward per-chunk math: (P, 128) dx, dy, gv, alpha, ok
+    from a (FROWS, 128) feature block (GSCuda.cu:634-649 semantics). `ok`
+    also masks lanes whose tile-id row differs from the current tile (shared
+    boundary chunks)."""
+    mx = f[F_MX : F_MX + 1, :]
+    my = f[F_MY : F_MY + 1, :]
+    ca = f[F_CA : F_CA + 1, :]
+    cb = f[F_CB : F_CB + 1, :]
+    cc = f[F_CC : F_CC + 1, :]
+    op = f[F_OP : F_OP + 1, :]
+    dx = mx - px
+    dy = my - py
+    power = -0.5 * (ca * (dx * dx) + cc * (dy * dy)) - cb * (dx * dy)
+    gv = jnp.exp(power)
+    og = op * gv
+    alpha = jnp.minimum(cfg.ALPHA_MAX, og)
+    mine = f[F_TID : F_TID + 1, :] == t_f32
+    ok = (power <= 0.0) & (alpha >= cfg.ALPHA_MIN) & mine
+    return dx, dy, ca, cb, cc, gv, og, alpha, ok
+
+
 def _forward_kernel(
-    starts_ref,  # scalar prefetch: (T+1,) i32, all multiples of CHUNK
-    feat_ref,  # (R, 128) f32 packed features in HBM
-    rgb_ref,  # out block (1, 3, TILE_H, TILE_W)
-    ft_ref,  # out block (1, TILE_H, TILE_W)
-    nc_ref,  # out block (1, TILE_H, TILE_W) i32
-    buf,  # VMEM (2, ROWS, 128)
+    starts_ref,  # scalar prefetch: (T+1,) i32 segment bounds (unaligned)
+    feat_ref,  # (R, 128) f32 packed transposed features in HBM
+    out_ref,  # out block (1, P, 16): cols 6:9 rgb, 0 final_T, 1 n_contrib
+    buf,  # VMEM (2, FROWS, 128) double buffer
     sems,  # DMA sems (2,)
     *,
     grid_w: int,
+    tile_h: int,
+    tile_w: int,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = starts_ref[t + 1]
-    nchunks = (end - start) // CHUNK  # segments are chunk-aligned
-    row0 = start // GPR
-    px, py = _pixel_grids(t, grid_w)
+    chunk0 = start // CHUNK
+    nchunks = jnp.where(end > start, (end + CHUNK - 1) // CHUNK - chunk0, 0)
+    p = tile_h * tile_w
+    px, py = _pixel_coords(t, grid_w, tile_h, tile_w)
+    t_f32 = t.astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     def get_dma(slot, k):
         return pltpu.make_async_copy(
-            feat_ref.at[pl.ds(row0 + k * ROWS, ROWS), :],
+            feat_ref.at[pl.ds((chunk0 + k) * FROWS, FROWS), :],
             buf.at[slot],
             sems.at[slot],
         )
@@ -102,38 +154,33 @@ def _forward_kernel(
     def _():
         get_dma(0, 0).start()
 
-    def row_body(r, carry, k, slot):
-        t_run, acc_r, acc_g, acc_b, ft, nc = carry
-        for j in range(GPR):  # static unroll: lane offsets are constants
-            base = j * NFEAT
-            mx = buf[slot, r, base + F_MX]
-            my = buf[slot, r, base + F_MY]
-            ca = buf[slot, r, base + F_CA]
-            cb = buf[slot, r, base + F_CB]
-            cc = buf[slot, r, base + F_CC]
-            op = buf[slot, r, base + F_OP]
-            cred = buf[slot, r, base + F_R]
-            cgrn = buf[slot, r, base + F_G]
-            cblu = buf[slot, r, base + F_B]
-
-            dx = mx - px
-            dy = my - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            gv = jnp.exp(power)
-            alpha = jnp.minimum(cfg.ALPHA_MAX, op * gv)
-            ok = (power <= 0.0) & (alpha >= cfg.ALPHA_MIN)
-            a_eff = jnp.where(ok, alpha, 0.0)
-            test_t = t_run * (1.0 - a_eff)
-            include = test_t >= cfg.TRANSMITTANCE_MIN
-            w = jnp.where(include, a_eff * t_run, 0.0)
-            acc_r = acc_r + w * cred
-            acc_g = acc_g + w * cgrn
-            acc_b = acc_b + w * cblu
-            ft = jnp.where(include, test_t, ft)
-            idx = k * CHUNK + r * GPR + j  # 0-based index within the segment
-            nc = jnp.where(w > 0.0, idx + 1, nc)
-            t_run = test_t
-        return t_run, acc_r, acc_g, acc_b, ft, nc
+    def live_body(k, slot, carry):
+        t_carry, acc, ft, nc = carry
+        f = buf[slot]  # (FROWS, 128)
+        _, _, _, _, _, _, _, alpha, ok = _alpha_terms(f, px, py, t_f32)
+        a_eff = jnp.where(ok, alpha, 0.0)
+        cum = _cumprod_lanes(1.0 - a_eff)  # inclusive (P, 128)
+        test_t = t_carry * cum
+        t_before = t_carry * _shift_lanes(cum, 1, 1.0)
+        include = test_t >= cfg.TRANSMITTANCE_MIN
+        w = jnp.where(include, a_eff * t_before, 0.0)
+        # ONE matmul accumulates every feature column; rgb = cols 6:9.
+        acc = acc + jax.lax.dot_general(
+            w, jnp.transpose(f, (1, 0)), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        # test_t is monotone non-increasing along lanes: the lane-min is the
+        # last value, so final_T freezes at the last included P_i.
+        ft = jnp.minimum(
+            ft, jnp.min(jnp.where(include, test_t, 2.0), axis=1, keepdims=True)
+        )
+        # n_contrib is the 1-based index within the tile's own segment.
+        idxv = ((chunk0 + k) * CHUNK + lane - start + 1).astype(jnp.float32)
+        nc = jnp.maximum(
+            nc, jnp.max(jnp.where(w > 0.0, idxv, 0.0), axis=1, keepdims=True)
+        )
+        t_carry = jnp.min(test_t, axis=1, keepdims=True)
+        return t_carry, acc, ft, nc
 
     def chunk_body(k, carry):
         # Keep the DMA pipeline moving even for saturated tiles so the
@@ -146,109 +193,115 @@ def _forward_kernel(
 
         get_dma(slot, k).wait()
 
-        t_run = carry[0]
-        done = jnp.max(t_run) < cfg.TRANSMITTANCE_MIN
+        done = jnp.max(carry[0]) < cfg.TRANSMITTANCE_MIN
         return jax.lax.cond(
-            done,
-            lambda c: c,
-            lambda c: jax.lax.fori_loop(
-                0, ROWS, functools.partial(row_body, k=k, slot=slot), c
-            ),
-            carry,
+            done, lambda c: c, functools.partial(live_body, k, slot), carry
         )
 
-    shape = (TILE_H, TILE_W)
     init = (
-        jnp.ones(shape, jnp.float32),  # running T
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.ones(shape, jnp.float32),  # final_T (frozen at last include)
-        jnp.zeros(shape, jnp.int32),  # n_contrib
+        jnp.ones((p, 1), jnp.float32),  # running T
+        jnp.zeros((p, FROWS), jnp.float32),  # feature-weighted accumulators
+        jnp.ones((p, 1), jnp.float32),  # final_T (frozen at last include)
+        jnp.zeros((p, 1), jnp.float32),  # n_contrib
     )
-    _, acc_r, acc_g, acc_b, ft, nc = jax.lax.fori_loop(
-        0, nchunks, chunk_body, init
-    )
-    rgb_ref[0, 0] = acc_r
-    rgb_ref[0, 1] = acc_g
-    rgb_ref[0, 2] = acc_b
-    ft_ref[0] = ft
-    nc_ref[0] = nc
+    _, acc, ft, nc = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, FROWS), 1)
+    out_ref[0] = jnp.where(col == OC_FT, ft, jnp.where(col == OC_NC, nc, acc))
 
 
 def blend_forward(
-    feat_packed: jax.Array,  # (R, 128) f32, chunk-aligned segments
-    tile_starts: jax.Array,  # (T+1,) i32, multiples of CHUNK
+    feat_packed: jax.Array,  # (R, 128) f32: transposed sorted-order features
+    tile_starts: jax.Array,  # (T+1,) i32 segment bounds (unaligned)
     grid_h: int,
     grid_w: int,
+    tile_h: int,
+    tile_w: int,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> jax.Array:
+    """Returns (T, P, 16): cols 6:9 rgb, col 0 final_T, col 1 n_contrib."""
     num_tiles = grid_h * grid_w
+    p = tile_h * tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=[
-            pl.BlockSpec((1, 3, TILE_H, TILE_W), lambda t, s: (t, 0, 0, 0)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, s: (t, 0, 0)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, s: (t, 0, 0)),
-        ],
+        out_specs=[pl.BlockSpec((1, p, FROWS), lambda t, s: (t, 0, 0))],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, FROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_forward_kernel, grid_w=grid_w),
+        functools.partial(
+            _forward_kernel, grid_w=grid_w, tile_h=tile_h, tile_w=tile_w
+        ),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 3, TILE_H, TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, TILE_H, TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, TILE_H, TILE_W), jnp.int32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, FROWS), jnp.float32)],
         interpret=interpret,
-    )(tile_starts, feat_packed)
+    )(tile_starts, feat_packed)[0]
+
+
+# aux columns for the backward: one (T, P, 8) block carries everything
+# per-pixel the reverse replay needs.
+A_DR, A_DG, A_DB, A_DFT, A_FT, A_NC = range(6)
 
 
 def _backward_kernel(
-    starts_ref,  # scalar prefetch (T+1,) i32, multiples of CHUNK
-    feat_ref,  # (R, 128) packed features in HBM
-    ft_ref,  # (1, TILE_H, TILE_W) saved final transmittance
-    nc_ref,  # (1, TILE_H, TILE_W) i32 saved last contributor
-    drgb_ref,  # (1, 3, TILE_H, TILE_W) incoming image cotangent
-    dft_ref,  # (1, TILE_H, TILE_W) incoming final_T cotangent
+    starts_ref,  # scalar prefetch (T+1,) i32 segment bounds (unaligned)
+    feat_ref,  # (R, 128) packed transposed features in HBM
+    aux_ref,  # (1, P, 8): d_rgb, d_ft, saved final_T, saved n_contrib
     dfeat_ref,  # (R, 128) packed per-intersection grads out (HBM)
-    buf,  # VMEM (2, ROWS, 128) read buffer
-    obuf,  # VMEM (2, ROWS, 128) write buffer
+    buf,  # VMEM (2, FROWS, 128) read buffer
+    obuf,  # VMEM (2, FROWS, 128) write buffer
+    rbuf,  # VMEM (FROWS, 128): neighbor's grads for shared-chunk accumulate
     sems,  # DMA sems (2,) reads
     osems,  # DMA sems (2,) writes
+    rsem,  # DMA sem for the shared-chunk read
     *,
     grid_w: int,
+    tile_h: int,
+    tile_w: int,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = starts_ref[t + 1]
-    nchunks = (end - start) // CHUNK
-    row0 = start // GPR
-    px, py = _pixel_grids(t, grid_w)
+    chunk0 = start // CHUNK
+    nchunks = jnp.where(end > start, (end + CHUNK - 1) // CHUNK - chunk0, 0)
+    # Chunk chunk0 is shared with an earlier tile iff the segment starts
+    # mid-chunk; that tile has already written it (sequential grid), so this
+    # tile must accumulate rather than overwrite.
+    shared_first = start % CHUNK != 0
+    p = tile_h * tile_w
+    px, py = _pixel_coords(t, grid_w, tile_h, tile_w)
+    t_f32 = t.astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-    final_t = ft_ref[0]
-    nc = nc_ref[0]
-    dc_r = drgb_ref[0, 0]
-    dc_g = drgb_ref[0, 1]
-    dc_b = drgb_ref[0, 2]
-    dft = dft_ref[0]
+    aux = aux_ref[0]  # (P, 8)
+    dc_r = aux[:, A_DR : A_DR + 1]
+    dc_g = aux[:, A_DG : A_DG + 1]
+    dc_b = aux[:, A_DB : A_DB + 1]
+    dft_ft = aux[:, A_DFT : A_DFT + 1] * aux[:, A_FT : A_FT + 1]  # (P, 1)
+    final_t = aux[:, A_FT : A_FT + 1]
+    nc = aux[:, A_NC : A_NC + 1]  # f32, exact
 
     # Chunks entirely past the tile's last contributor have zero gradient
-    # everywhere (forward saturation stopped before them): their output is a
-    # straight zero-fill with no feature read and no blend replay. This is
-    # the backward mirror of the forward early-termination skip.
-    nc_max = jnp.max(nc)
-    nchunks_live = jnp.minimum(nchunks, (nc_max + CHUNK - 1) // CHUNK)
+    # everywhere (forward saturation stopped before them): straight zero-fill,
+    # no feature read, no replay — the mirror of the forward early exit.
+    # n_contrib is 1-based within the segment; map back to chunk indices.
+    ncm = jnp.max(nc).astype(jnp.int32)
+    nchunks_live = jnp.where(
+        ncm > 0, (start + ncm - 1) // CHUNK - chunk0 + 1, 0
+    )
+    nchunks_live = jnp.minimum(nchunks, nchunks_live)
+
+    # Strictly-lower mask: suffix_ex = uw @ M, M[h, g] = 1 iff h > g.
+    hh = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    gg = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    suffix_mask = (hh > gg).astype(jnp.float32)
 
     def get_read(slot, k):
         return pltpu.make_async_copy(
-            feat_ref.at[pl.ds(row0 + k * ROWS, ROWS), :],
+            feat_ref.at[pl.ds((chunk0 + k) * FROWS, FROWS), :],
             buf.at[slot],
             sems.at[slot],
         )
@@ -256,19 +309,28 @@ def _backward_kernel(
     def get_write(slot, k):
         return pltpu.make_async_copy(
             obuf.at[slot],
-            dfeat_ref.at[pl.ds(row0 + k * ROWS, ROWS), :],
+            dfeat_ref.at[pl.ds((chunk0 + k) * FROWS, FROWS), :],
             osems.at[slot],
         )
 
+    # Rows 9:16 of every grad block are always zero; live chunks only write
+    # rows 0:9, so pre-zero both slots once.
+    obuf[0] = jnp.zeros((FROWS, CHUNK), jnp.float32)
+    obuf[1] = jnp.zeros((FROWS, CHUNK), jnp.float32)
+
     def zero_body(k, _):
-        wdma = get_write(0, k)
-        wdma.start()
-        wdma.wait()
+        # A dead shared first chunk belongs to the earlier tile that wrote
+        # it: adding zeros is a no-op, so skip the write entirely.
+        @pl.when((k > 0) | jnp.logical_not(shared_first))
+        def _():
+            wdma = get_write(0, k)
+            wdma.start()
+            wdma.wait()
+
         return 0
 
     @pl.when(nchunks_live < nchunks)
     def _():
-        obuf[0] = jnp.zeros((ROWS, 128), jnp.float32)
         jax.lax.fori_loop(nchunks_live, nchunks, zero_body, 0)
 
     @pl.when(nchunks_live > 0)
@@ -276,83 +338,6 @@ def _backward_kernel(
         # First processed chunk is nchunks_live-1; its buffer slot is parity-
         # based, NOT 0 (slot/semaphore mismatch deadlocks or double-signals).
         get_read(jax.lax.rem(nchunks_live - 1, 2), nchunks_live - 1).start()
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-
-    def row_body(i, carry, k, slot):
-        t_run, acc_r, acc_g, acc_b = carry
-        r = ROWS - 1 - i  # reverse row order within the chunk
-        # Mosaic cannot store scalars to VMEM: compose the row's 9-grads-per-
-        # gaussian into one (1, 128) vector via static lane masks, store once.
-        row_acc = jnp.zeros((1, 128), jnp.float32)
-        for jj in range(GPR):  # static unroll, reverse gaussian order
-            j = GPR - 1 - jj
-            base = j * NFEAT
-            mx = buf[slot, r, base + F_MX]
-            my = buf[slot, r, base + F_MY]
-            ca = buf[slot, r, base + F_CA]
-            cb = buf[slot, r, base + F_CB]
-            cc = buf[slot, r, base + F_CC]
-            op = buf[slot, r, base + F_OP]
-            cred = buf[slot, r, base + F_R]
-            cgrn = buf[slot, r, base + F_G]
-            cblu = buf[slot, r, base + F_B]
-
-            dx = mx - px
-            dy = my - py
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            gv = jnp.exp(power)
-            og = op * gv
-            alpha = jnp.minimum(cfg.ALPHA_MAX, og)
-            ok = (power <= 0.0) & (alpha >= cfg.ALPHA_MIN)
-            idx = k * CHUNK + r * GPR + j
-            applied = ok & (idx < nc)  # n_contrib gates the stopped tail
-
-            alpha_m = jnp.where(applied, alpha, 0.0)
-            # Recover T before this gaussian (reverse of T *= (1 - alpha)).
-            t_run = t_run / (1.0 - alpha_m)
-            w = alpha_m * t_run
-
-            # d color
-            dcol_r = jnp.sum(w * dc_r)
-            dcol_g = jnp.sum(w * dc_g)
-            dcol_b = jnp.sum(w * dc_b)
-
-            # d alpha: dC/dalpha_i = T_i (c_i - R_i); R_i is the suffix
-            # recurrence acc = alpha c + (1-alpha) acc (the Inria backward
-            # recurrence), plus the final-transmittance path
-            # dT_final/dalpha_i = -T_final/(1 - alpha_i).
-            dalpha = t_run * (
-                dc_r * (cred - acc_r)
-                + dc_g * (cgrn - acc_g)
-                + dc_b * (cblu - acc_b)
-            )
-            dalpha = dalpha - dft * final_t / (1.0 - alpha_m)
-            dalpha = jnp.where(applied, dalpha, 0.0)
-
-            acc_r = jnp.where(applied, alpha * cred + (1.0 - alpha) * acc_r, acc_r)
-            acc_g = jnp.where(applied, alpha * cgrn + (1.0 - alpha) * acc_g, acc_g)
-            acc_b = jnp.where(applied, alpha * cblu + (1.0 - alpha) * acc_b, acc_b)
-
-            # alpha = min(0.99, o G): clamped branch has zero gradient.
-            gate = og < cfg.ALPHA_MAX
-            da_g = jnp.where(gate, dalpha, 0.0)
-            dop = jnp.sum(da_g * gv)
-            dpower = da_g * og  # dalpha * o * dG/dpower, dG/dpower = G
-            d_ca = jnp.sum(dpower * (-0.5 * dx * dx))
-            d_cb = jnp.sum(dpower * (-dx * dy))
-            d_cc = jnp.sum(dpower * (-0.5 * dy * dy))
-            d_mx = jnp.sum(dpower * (-(ca * dx + cb * dy)))
-            d_my = jnp.sum(dpower * (-(cc * dy + cb * dx)))
-
-            for off, val in (
-                (F_MX, d_mx), (F_MY, d_my), (F_CA, d_ca), (F_CB, d_cb),
-                (F_CC, d_cc), (F_OP, dop), (F_R, dcol_r), (F_G, dcol_g),
-                (F_B, dcol_b),
-            ):
-                row_acc = jnp.where(lane == base + off, val, row_acc)
-        obuf[slot, pl.ds(r, 1), :] = row_acc
-        return t_run, acc_r, acc_g, acc_b
 
     def chunk_body(i, carry):
         k = nchunks_live - 1 - i  # reverse chunk order
@@ -364,66 +349,115 @@ def _backward_kernel(
 
         get_read(slot, k).wait()
 
-        carry = jax.lax.fori_loop(
-            0, ROWS, functools.partial(row_body, k=k, slot=slot), carry
+        t_after, q_carry = carry  # (P,1): T after this chunk; sum of u*w after
+        f = buf[slot]
+        dx, dy, ca, cb, cc, gv, og, alpha, ok = _alpha_terms(f, px, py, t_f32)
+        # 0-based index within the segment (n_contrib gates the stopped tail).
+        idxv = ((chunk0 + k) * CHUNK + lane - start).astype(jnp.float32)
+        applied = ok & (idxv < nc)
+        a_m = jnp.where(applied, alpha, 0.0)
+        om = 1.0 - a_m  # >= 1 - ALPHA_MAX = 0.01
+        cum = _cumprod_lanes(om)
+        # cum is monotone non-increasing: lane-min == full chunk product.
+        t_start = t_after / jnp.min(cum, axis=1, keepdims=True)
+        t_g = t_start * _shift_lanes(cum, 1, 1.0)  # T before gaussian g
+        w = a_m * t_g
+
+        cr = f[F_R : F_R + 1, :]
+        cg = f[F_G : F_G + 1, :]
+        cbl = f[F_B : F_B + 1, :]
+        u = dc_r * cr + dc_g * cg + dc_b * cbl  # (P, 128)
+        uw = u * w
+        # dC/dalpha_i = T_i (c_i - S_i) with S the suffix blend; in closed
+        # form T_g·(dc·S) = (Σ_{h>g} u_h w_h) / (1 - a_g)  — one MXU matmul.
+        suffix = jax.lax.dot_general(
+            uw, suffix_mask, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
         )
+        dalpha = t_g * u - (suffix + q_carry + dft_ft) / om
+        dalpha = jnp.where(applied, dalpha, 0.0)
+        # alpha = min(0.99, o·G): clamped branch has zero gradient.
+        da_g = jnp.where(og < cfg.ALPHA_MAX, dalpha, 0.0)
+        dpower = da_g * og
+
+        # Per-feature gradients: sublane reductions to (1, 128) rows, written
+        # once per chunk (round 1 did 9 full-tile reductions PER GAUSSIAN).
+        obuf[slot, F_MX : F_MX + 1, :] = jnp.sum(
+            dpower * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
+        obuf[slot, F_MY : F_MY + 1, :] = jnp.sum(
+            dpower * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
+        obuf[slot, F_CA : F_CA + 1, :] = jnp.sum(
+            dpower * (-0.5 * (dx * dx)), axis=0, keepdims=True)
+        obuf[slot, F_CB : F_CB + 1, :] = jnp.sum(
+            dpower * (-(dx * dy)), axis=0, keepdims=True)
+        obuf[slot, F_CC : F_CC + 1, :] = jnp.sum(
+            dpower * (-0.5 * (dy * dy)), axis=0, keepdims=True)
+        obuf[slot, F_OP : F_OP + 1, :] = jnp.sum(
+            da_g * gv, axis=0, keepdims=True)
+        obuf[slot, F_R : F_R + 1, :] = jnp.sum(
+            w * dc_r, axis=0, keepdims=True)
+        obuf[slot, F_G : F_G + 1, :] = jnp.sum(
+            w * dc_g, axis=0, keepdims=True)
+        obuf[slot, F_B : F_B + 1, :] = jnp.sum(
+            w * dc_b, axis=0, keepdims=True)
+
+        # Shared first chunk: accumulate into the earlier tile's block.
+        @pl.when((k == 0) & shared_first)
+        def _():
+            rdma = pltpu.make_async_copy(
+                dfeat_ref.at[pl.ds(chunk0 * FROWS, FROWS), :], rbuf, rsem
+            )
+            rdma.start()
+            rdma.wait()
+            obuf[slot] = obuf[slot] + rbuf[:]
+
         wdma = get_write(slot, k)
         wdma.start()
         wdma.wait()
-        return carry
 
-    shape = (TILE_H, TILE_W)
-    init = (
-        final_t,  # running T, reconstructed back-to-front
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-        jnp.zeros(shape, jnp.float32),
-    )
+        q_carry = q_carry + jnp.sum(uw, axis=1, keepdims=True)
+        return t_start, q_carry
+
+    init = (final_t, jnp.zeros((p, 1), jnp.float32))
     jax.lax.fori_loop(0, nchunks_live, chunk_body, init)
 
 
 def blend_backward(
     feat_packed: jax.Array,  # (R, 128)
-    tile_starts: jax.Array,  # (T+1,) i32, multiples of CHUNK
-    final_t_tiles: jax.Array,  # (T, TILE_H, TILE_W)
-    n_contrib_tiles: jax.Array,  # (T, TILE_H, TILE_W) i32
-    d_rgb_tiles: jax.Array,  # (T, 3, TILE_H, TILE_W)
-    d_ft_tiles: jax.Array,  # (T, TILE_H, TILE_W)
+    tile_starts: jax.Array,  # (T+1,) i32 segment bounds (unaligned)
+    aux: jax.Array,  # (T, P, 8): d_rgb | d_ft | saved final_T | saved nc
     grid_h: int,
     grid_w: int,
+    tile_h: int,
+    tile_w: int,
     interpret: bool = False,
 ) -> jax.Array:
     num_tiles = grid_h * grid_w
+    p = tile_h * tile_w
     rows = feat_packed.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, s: (t, 0, 0)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, s: (t, 0, 0)),
-            pl.BlockSpec((1, 3, TILE_H, TILE_W), lambda t, s: (t, 0, 0, 0)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda t, s: (t, 0, 0)),
+            pl.BlockSpec((1, p, 8), lambda t, s: (t, 0, 0)),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, 128), jnp.float32),
-            pltpu.VMEM((2, ROWS, 128), jnp.float32),
+            pltpu.VMEM((2, FROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, FROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((FROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_backward_kernel, grid_w=grid_w),
+        functools.partial(
+            _backward_kernel, grid_w=grid_w, tile_h=tile_h, tile_w=tile_w
+        ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((rows, 128), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((rows, CHUNK), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(
-        tile_starts,
-        feat_packed,
-        final_t_tiles,
-        n_contrib_tiles,
-        d_rgb_tiles,
-        d_ft_tiles,
-    )[0]
+    )(tile_starts, feat_packed, aux)[0]

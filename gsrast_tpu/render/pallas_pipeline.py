@@ -15,15 +15,16 @@ Differentiability layout:
 Binning is integer structure (stop_gradient), as in the reference where
 gradients do not flow through the sort.
 
-TPU alignment: every tile's intersection segment is padded to a multiple of
-128 entries (see pad_segments) so kernel DMA slices are tiling-aligned; the
-padding entries carry opacity 0 and are numerically inert.
+Round-2 dataflow: features are packed ONCE, directly in the binning's global
+depth-sorted order (one contiguous row gather) with the owning tile id as a
+feature row; the kernels walk unaligned per-tile segments and mask foreign
+lanes in shared boundary chunks. This removed round 1's entire segment
+re-padding stage (a second full sort) and its index indirection.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,100 +44,83 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def pad_segments(
-    binning: binning_ops.Binning, num_tiles: int, padded_capacity: int
-) -> Tuple[jax.Array, jax.Array]:
-    """Re-pack the sorted intersection list so every tile's segment starts at
-    a multiple of CHUNK (=128). Returns (sorted_gauss_padded (C_pp,),
-    tile_starts_padded (T+1,)). Padding slots hold gaussian -1.
-
-    Scatter-free: a TPU scatter of C elements costs ~ms; instead, CHUNK
-    filler entries per tile are appended (the j-th filler of tile t live iff
-    j < pad_needed[t], dead fillers keyed past every real tile) and ONE merge
-    sort of (C + T*CHUNK) = padded_capacity entries lands every filler at its
-    tile's segment end. Position within the already-(tile|depth)-sorted input
-    is the tiebreak key, so real entries keep their depth order."""
-    starts = binning.tile_starts
-    counts = starts[1:] - starts[:-1]
-    pcounts = ((counts + pb.CHUNK - 1) // pb.CHUNK) * pb.CHUNK
-    pstarts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts).astype(jnp.int32)]
-    )
-    c = binning.sorted_gauss.shape[0]
-    imax = jnp.iinfo(jnp.int32).max
-
-    fill_live = (
-        jnp.arange(pb.CHUNK, dtype=jnp.int32)[None, :]
-        < (pcounts - counts)[:, None]
-    )  # (T, CHUNK)
-    fill_tile = jnp.where(
-        fill_live, jnp.arange(num_tiles, dtype=jnp.int32)[:, None], num_tiles
-    ).reshape(-1)
-
-    key_tile = jnp.concatenate([binning.sorted_tile, fill_tile])
-    key_pos = jnp.concatenate(
-        [jnp.arange(c, dtype=jnp.int32), jnp.full((num_tiles * pb.CHUNK,), imax)]
-    )
-    payload = jnp.concatenate(
-        [binning.sorted_gauss, jnp.full((num_tiles * pb.CHUNK,), -1, jnp.int32)]
-    )
-    _, _, sg_padded = jax.lax.sort(
-        (key_tile, key_pos, payload), dimension=0, num_keys=2, is_stable=False
-    )
-    assert sg_padded.shape[0] == padded_capacity, (
-        sg_padded.shape, padded_capacity)
-    return sg_padded, pstarts
-
-
-def pack_features(prep, sorted_gauss: jax.Array) -> jax.Array:
-    """Gather per-Gaussian screen state into depth-sorted per-intersection
-    rows, packed 8 gaussians per 128-lane row: (C_pp // 8, 128).
+def pack_features(prep, sorted_gauss: jax.Array,
+                  sorted_tile: jax.Array) -> jax.Array:
+    """Gather per-Gaussian screen state into global depth-sorted TRANSPOSED
+    chunks: (C/128 * 16, 128), chunk k = rows [16k, 16k+16), row f = feature
+    f of 128 intersections (see pallas_blend module docstring). Row 9 carries
+    the owning tile id (f32-exact; integer structure, no gradient).
     Differentiable: the VJP of the gather is the per-Gaussian scatter-add."""
     c = sorted_gauss.shape[0]
     n = prep.mean2d.shape[0]
-    # Assemble (N, 16) once, then ONE row gather (a single contiguous-row
-    # gather is several times faster than four separate column gathers on
-    # TPU); dead slots (gauss -1) are zeroed wholesale, which makes them
-    # numerically inert (opacity 0 -> alpha 0).
     feat_n = jnp.concatenate(
         [
-            prep.mean2d,                             # 0:2
-            prep.conic,                              # 2:5
-            prep.opacity[:, None],                   # 5
-            prep.color,                              # 6:9
-            jnp.zeros((n, pb.NFEAT - 9), jnp.float32),
+            prep.mean2d,                             # rows 0:2
+            prep.conic,                              # rows 2:5
+            prep.opacity[:, None],                   # row 5
+            prep.color,                              # rows 6:9
         ],
         axis=1,
     )
     gidx = jnp.maximum(sorted_gauss, 0)
     live = (sorted_gauss >= 0).astype(jnp.float32)[:, None]
-    feat = feat_n[gidx] * live
-    return feat.reshape(c // pb.GPR, pb.GPR * pb.NFEAT)
+    feat = feat_n[gidx] * live  # (C, 9); dead slots inert (opacity 0)
+    tile_row = jax.lax.stop_gradient(sorted_tile).astype(jnp.float32)
+    feat = jnp.concatenate(
+        [feat, tile_row[:, None], jnp.zeros((c, pb.FROWS - 10), jnp.float32)],
+        axis=1,
+    )
+    return (
+        feat.reshape(c // pb.CHUNK, pb.CHUNK, pb.FROWS)
+        .transpose(0, 2, 1)
+        .reshape(-1, pb.CHUNK)
+    )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _blend(feat_packed, tile_starts, grid_h, grid_w, interpret):
-    return pb.blend_forward(feat_packed, tile_starts, grid_h, grid_w, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _blend(feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w,
+           interpret):
+    out = pb.blend_forward(
+        feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w, interpret
+    )
+    rgb = out[:, :, pb.OC_R : pb.OC_B + 1]
+    ft = out[:, :, pb.OC_FT]
+    nc = out[:, :, pb.OC_NC].astype(jnp.int32)
+    return rgb, ft, nc
 
 
-def _blend_fwd(feat_packed, tile_starts, grid_h, grid_w, interpret):
-    rgb, ft, nc = pb.blend_forward(
-        feat_packed, tile_starts, grid_h, grid_w, interpret
+def _blend_fwd(feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w,
+               interpret):
+    rgb, ft, nc = _blend(
+        feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w, interpret
     )
     return (rgb, ft, nc), (feat_packed, tile_starts, ft, nc)
 
 
-def _blend_bwd(grid_h, grid_w, interpret, res, cots):
+def _blend_bwd(grid_h, grid_w, tile_h, tile_w, interpret, res, cots):
     feat_packed, tile_starts, ft, nc = res
     d_rgb, d_ft, _d_nc = cots  # n_contrib is integer output: no gradient
+    num_tiles, p = ft.shape
+    aux = jnp.concatenate(
+        [
+            d_rgb,                       # cols 0:3
+            d_ft[:, :, None],            # col 3
+            ft[:, :, None],              # col 4
+            nc.astype(jnp.float32)[:, :, None],  # col 5
+            jnp.zeros((num_tiles, p, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
     dfeat = pb.blend_backward(
-        feat_packed, tile_starts, ft, nc, d_rgb, d_ft, grid_h, grid_w,
+        feat_packed, tile_starts, aux, grid_h, grid_w, tile_h, tile_w,
         interpret,
     )
-    # Rows past the last real segment are never written by any tile
-    # (uninitialized output memory): zero them.
+    # Chunks past the last real segment are never written by any tile
+    # (uninitialized output memory): zero them. Row r belongs to chunk
+    # r // FROWS.
     row = jnp.arange(dfeat.shape[0], dtype=jnp.int32)
-    dfeat = jnp.where((row < tile_starts[-1] // pb.GPR)[:, None], dfeat, 0.0)
+    live_chunks = (tile_starts[-1] + pb.CHUNK - 1) // pb.CHUNK
+    dfeat = jnp.where((row < live_chunks * pb.FROWS)[:, None], dfeat, 0.0)
     d_starts = np.zeros(tile_starts.shape, jax.dtypes.float0)
     return dfeat, d_starts
 
@@ -150,39 +134,35 @@ def render_tiled_pallas(
     render_cfg: cfg.RenderConfig = cfg.RenderConfig(),
     mean2d_delta=None,
 ) -> RenderOutput:
-    if render_cfg.tile_h != pb.TILE_H or render_cfg.tile_w != pb.TILE_W:
+    tile_h, tile_w = render_cfg.tile_h, render_cfg.tile_w
+    if (tile_h * tile_w) % 128 != 0:
         raise ValueError(
-            f"pallas backend requires tile {pb.TILE_H}x{pb.TILE_W}, got "
-            f"{render_cfg.tile_h}x{render_cfg.tile_w}"
+            f"pallas backend requires tile_h*tile_w % 128 == 0, got "
+            f"{tile_h}x{tile_w}"
         )
     grid_h, grid_w = render_cfg.grid_shape(camera.height, camera.width)
     num_tiles = grid_h * grid_w
     capacity = render_cfg.capacity(gaussians.means.shape[0])
-    padded_capacity = capacity + pb.CHUNK * num_tiles
     interpret = _use_interpret()
 
     prep = preprocess(gaussians, camera, render_cfg, mean2d_delta)
     binning = binning_ops.build_binning(
         jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg, capacity
     )
-    sg_padded, pstarts = pad_segments(binning, num_tiles, padded_capacity)
-    feat_packed = pack_features(prep, sg_padded)
+    feat_packed = pack_features(
+        prep, binning.sorted_gauss, binning.sorted_tile
+    )
     rgb_tiles, ft_tiles, nc_tiles = _blend(
-        feat_packed, pstarts, grid_h, grid_w, interpret
+        feat_packed, binning.tile_starts, grid_h, grid_w, tile_h, tile_w,
+        interpret,
     )
 
     background = jnp.asarray(render_cfg.background, jnp.float32)
-    tiles_pix = jnp.moveaxis(rgb_tiles, 1, -1).reshape(
-        num_tiles, pb.TILE_H * pb.TILE_W, 3
-    )
-    ft_pix = ft_tiles.reshape(num_tiles, pb.TILE_H * pb.TILE_W)
-    nc_pix = nc_tiles.reshape(num_tiles, pb.TILE_H * pb.TILE_W)
-
-    image = untile(tiles_pix, grid_h, grid_w, render_cfg,
+    image = untile(rgb_tiles, grid_h, grid_w, render_cfg,
                    camera.height, camera.width)
-    final_t = untile(ft_pix, grid_h, grid_w, render_cfg,
+    final_t = untile(ft_tiles, grid_h, grid_w, render_cfg,
                      camera.height, camera.width)
-    n_contrib = untile(nc_pix, grid_h, grid_w, render_cfg,
+    n_contrib = untile(nc_tiles, grid_h, grid_w, render_cfg,
                        camera.height, camera.width)
     image = image + final_t[..., None] * background
 

@@ -1,7 +1,8 @@
 """Stage-by-stage timing of the tile-sorted pipeline on the current backend.
 
-Times preprocess / binning / pad+pack / blend fwd / full fwd / fwd+bwd
-separately so optimization effort goes where the milliseconds are.
+Times preprocess / binning / pad+pack / blend fwd / blend bwd / full fwd /
+fwd+bwd separately so optimization effort goes where the milliseconds are.
+Use --tile-h/--tile-w to measure tile-shape economics (VERDICT r1 item 3).
 """
 
 from __future__ import annotations
@@ -15,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/gsrast_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def timeit(fn, *args, iters=5):
@@ -34,6 +38,11 @@ def main():
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--backend", default=None)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--tile-h", type=int, default=16)
+    ap.add_argument("--tile-w", type=int, default=16)
+    ap.add_argument("--max-tiles", type=int, default=32,
+                    help="max_tiles_per_gaussian (binning K)")
+    ap.add_argument("--cap-factor", type=float, default=8.0)
     args = ap.parse_args()
 
     from gsrast_tpu import Camera, RenderConfig, random_scene
@@ -46,8 +55,11 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     backend = args.backend or ("pallas" if on_tpu else "xla")
-    cfg = RenderConfig(backend=backend, intersect_capacity_factor=8.0,
-                       max_per_tile=4096, tile_chunk=8)
+    cfg = RenderConfig(backend=backend,
+                       intersect_capacity_factor=args.cap_factor,
+                       max_per_tile=4096, tile_chunk=8,
+                       tile_h=args.tile_h, tile_w=args.tile_w,
+                       max_tiles_per_gaussian=args.max_tiles)
 
     scene = random_scene(jax.random.PRNGKey(0), args.n, sh_degree=3,
                          isotropic=False, scale_range=(0.005, 0.02))
@@ -61,7 +73,8 @@ def main():
     grid_h, grid_w = cfg.grid_shape(camera.height, camera.width)
     num_tiles = grid_h * grid_w
     capacity = cfg.capacity(args.n)
-    padded_capacity = capacity + pb.CHUNK * num_tiles
+    print(f"tile {args.tile_h}x{args.tile_w}, grid {grid_h}x{grid_w} "
+          f"({num_tiles} tiles), K={args.max_tiles}, cap={capacity}")
 
     f_prep = jax.jit(lambda a: preprocess(a, camera, cfg))
     prep = f_prep(act)
@@ -72,28 +85,32 @@ def main():
     binning = f_bin(prep)
     print(f"binning:     {timeit(f_bin, prep, iters=args.iters)*1e3:9.2f} ms"
           f"   (n_isect={int(binning.num_intersections)},"
-          f" cap={capacity}, ovf={int(binning.overflow_capacity)})")
-
-    f_pad = jax.jit(lambda b: pp.pad_segments(b, num_tiles, padded_capacity))
-    sg_padded, pstarts = f_pad(binning)
-    print(f"pad_segs:    {timeit(f_pad, binning, iters=args.iters)*1e3:9.2f} ms")
+          f" ovf={int(binning.overflow_capacity)},"
+          f" ovf_k={int(binning.overflow_tile_cap)})")
 
     f_pack = jax.jit(pp.pack_features)
-    feat = f_pack(prep, sg_padded)
-    print(f"pack:        {timeit(f_pack, prep, sg_padded, iters=args.iters)*1e3:9.2f} ms")
+    feat = f_pack(prep, binning.sorted_gauss, binning.sorted_tile)
+    print(f"pack:        "
+          f"{timeit(f_pack, prep, binning.sorted_gauss, binning.sorted_tile, iters=args.iters)*1e3:9.2f} ms")
+    pstarts = binning.tile_starts
 
     if backend == "pallas":
-        f_blend = jax.jit(lambda f, s: pb.blend_forward(f, s, grid_h, grid_w))
-        _ = f_blend(feat, pstarts)
+        f_blend = jax.jit(lambda f, s: pb.blend_forward(
+            f, s, grid_h, grid_w, args.tile_h, args.tile_w))
+        out = f_blend(feat, pstarts)
         print(f"blend_fwd:   {timeit(f_blend, feat, pstarts, iters=args.iters)*1e3:9.2f} ms")
 
-        f_bwd = jax.jit(lambda f, s, ft, nc, dr, dft: pb.blend_backward(
-            f, s, ft, nc, dr, dft, grid_h, grid_w))
-        rgb, ft, nc = f_blend(feat, pstarts)
-        dr = jnp.ones_like(rgb)
-        dft = jnp.zeros_like(ft)
-        _ = f_bwd(feat, pstarts, ft, nc, dr, dft)
-        print(f"blend_bwd:   {timeit(f_bwd, feat, pstarts, ft, nc, dr, dft, iters=args.iters)*1e3:9.2f} ms")
+        ft = out[:, :, pb.OC_FT]
+        nc = out[:, :, pb.OC_NC]
+        aux = jnp.concatenate(
+            [jnp.ones_like(out[:, :, :3]),          # d_rgb
+             jnp.zeros_like(ft)[:, :, None],        # d_ft
+             ft[:, :, None], nc[:, :, None],
+             jnp.zeros(ft.shape + (2,), jnp.float32)], axis=-1)
+        f_bwd = jax.jit(lambda f, s, a: pb.blend_backward(
+            f, s, a, grid_h, grid_w, args.tile_h, args.tile_w))
+        _ = f_bwd(feat, pstarts, aux)
+        print(f"blend_bwd:   {timeit(f_bwd, feat, pstarts, aux, iters=args.iters)*1e3:9.2f} ms")
 
     f_full = jax.jit(lambda a: render(a, camera, cfg).image)
     _ = f_full(act)
