@@ -54,21 +54,33 @@ def compute_cov3d(scale: jax.Array, quat: jax.Array) -> jax.Array:
     (..., 6): [xx, xy, xz, yy, yz, zz] (reference GSCuda.cu:168-195 stores the
     same 6 floats).
 
-    All geometry matmuls force full f32 precision: the platform default is
-    bf16-pass matmul, which is catastrophic for conic inversion (SURVEY.md §7
-    "fp32 sensitivity").
+    Expanded to per-channel elementwise formulas: batched (N, 3, 3) matmuls
+    pad each tiny operand to an MXU tile on TPU (~10x slower at N=1M); the
+    expansion is pure VPU work and exactly f32 (no bf16 matmul pass).
     """
-    rot = quat_to_rotmat(quat)  # (..., 3, 3)
-    m = rot * scale[..., None, :]  # R @ diag(s)
-    sigma = jnp.matmul(m, jnp.swapaxes(m, -1, -2), precision=jax.lax.Precision.HIGHEST)
+    w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    sx, sy, sz = scale[..., 0], scale[..., 1], scale[..., 2]
+    # M = R diag(s); Sigma = M M^T.
+    m00, m01, m02 = r00 * sx, r01 * sy, r02 * sz
+    m10, m11, m12 = r10 * sx, r11 * sy, r12 * sz
+    m20, m21, m22 = r20 * sx, r21 * sy, r22 * sz
     return jnp.stack(
         [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
+            m00 * m00 + m01 * m01 + m02 * m02,  # xx
+            m00 * m10 + m01 * m11 + m02 * m12,  # xy
+            m00 * m20 + m01 * m21 + m02 * m22,  # xz
+            m10 * m10 + m11 * m11 + m12 * m12,  # yy
+            m10 * m20 + m11 * m21 + m12 * m22,  # yz
+            m20 * m20 + m21 * m21 + m22 * m22,  # zz
         ],
         axis=-1,
     )
@@ -119,24 +131,36 @@ def compute_cov2d(
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    # Affine Jacobian of the perspective projection (GSCuda.cu:212-217).
-    zeros = jnp.zeros_like(tx)
-    j = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # (..., 2, 3)
-    hi = jax.lax.Precision.HIGHEST
-    t = jnp.matmul(j, view_rot, precision=hi)  # (..., 2, 3)
-    sigma = cov3d_to_matrix(cov6)  # (..., 3, 3)
-    cov2d = jnp.matmul(
-        jnp.matmul(t, sigma, precision=hi), jnp.swapaxes(t, -1, -2), precision=hi
-    )  # (..., 2, 2)
-    a = cov2d[..., 0, 0] + cfg.COV2D_DILATION
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + cfg.COV2D_DILATION
+    # T = J @ W where J is the (2, 3) perspective Jacobian
+    # [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]] (GSCuda.cu:212-217) and
+    # W = view_rot. Expanded per-channel: batched tiny matmuls pad to MXU
+    # tiles on TPU; this is pure VPU work (W entries are scalars).
+    w00, w01, w02 = view_rot[0, 0], view_rot[0, 1], view_rot[0, 2]
+    w10, w11, w12 = view_rot[1, 0], view_rot[1, 1], view_rot[1, 2]
+    w20, w21, w22 = view_rot[2, 0], view_rot[2, 1], view_rot[2, 2]
+    jx = focal_x * inv_z
+    jy = focal_y * inv_z
+    jxz = -focal_x * tx * inv_z2
+    jyz = -focal_y * ty * inv_z2
+    t00 = jx * w00 + jxz * w20
+    t01 = jx * w01 + jxz * w21
+    t02 = jx * w02 + jxz * w22
+    t10 = jy * w10 + jyz * w20
+    t11 = jy * w11 + jyz * w21
+    t12 = jy * w12 + jyz * w22
+    # cov2d = T Sigma T^T with Sigma the symmetric (..., 6) upper triangle.
+    s00, s01, s02 = cov6[..., 0], cov6[..., 1], cov6[..., 2]
+    s11, s12, s22 = cov6[..., 3], cov6[..., 4], cov6[..., 5]
+    # Sigma T^T columns: v_i = Sigma @ t_i (t_i = row i of T).
+    v00 = s00 * t00 + s01 * t01 + s02 * t02
+    v01 = s01 * t00 + s11 * t01 + s12 * t02
+    v02 = s02 * t00 + s12 * t01 + s22 * t02
+    v10 = s00 * t10 + s01 * t11 + s02 * t12
+    v11 = s01 * t10 + s11 * t11 + s12 * t12
+    v12 = s02 * t10 + s12 * t11 + s22 * t12
+    a = t00 * v00 + t01 * v01 + t02 * v02 + cfg.COV2D_DILATION
+    b = t10 * v00 + t11 * v01 + t12 * v02
+    c = t10 * v10 + t11 * v11 + t12 * v12 + cfg.COV2D_DILATION
     return jnp.stack([a, b, c], axis=-1)
 
 

@@ -88,10 +88,10 @@ def main():
           f" ovf={int(binning.overflow_capacity)},"
           f" ovf_k={int(binning.overflow_tile_cap)})")
 
-    f_pack = jax.jit(pp.pack_features)
-    feat = f_pack(prep, binning.sorted_gauss, binning.sorted_tile)
+    f_pack = jax.jit(lambda p, b: pp.pack_features(p, b, args.max_tiles))
+    feat = f_pack(prep, binning)
     print(f"pack:        "
-          f"{timeit(f_pack, prep, binning.sorted_gauss, binning.sorted_tile, iters=args.iters)*1e3:9.2f} ms")
+          f"{timeit(f_pack, prep, binning, iters=args.iters)*1e3:9.2f} ms")
     pstarts = binning.tile_starts
 
     if backend == "pallas":
