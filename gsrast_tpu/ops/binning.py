@@ -64,13 +64,16 @@ def build_binning(
     capacity: int,
     num_local_tiles: int | None = None,
     tile_lo=None,
+    tile_stride: int = 1,
 ) -> Binning:
     """Bin Gaussians into (tile | depth)-sorted intersection lists.
 
-    When `num_local_tiles`/`tile_lo` are given, only tiles in
-    [tile_lo, tile_lo + num_local_tiles) are binned and tile ids in the
-    result are LOCAL (tile - tile_lo) — this is the tile-sharded multi-chip
-    path (SURVEY.md §2.5: each device owns a set of tiles).
+    When `num_local_tiles`/`tile_lo` are given, only tiles
+    {tile_lo + j * tile_stride : 0 <= j < num_local_tiles} are binned and
+    tile ids in the result are LOCAL (j) — this is the tile-sharded
+    multi-chip path (SURVEY.md §2.5). `tile_stride > 1` interleaves tile
+    ownership round-robin across devices (device d of D owns tiles
+    {d, d+D, d+2D, ...}) so screen-space load concentrations spread evenly.
     """
     num_tiles = grid_h * grid_w
     if num_local_tiles is None:
@@ -113,8 +116,14 @@ def build_binning(
     ry = ks // rw[:, None]
     rx = ks - ry * rw[:, None]
     tile = (rect.y_min[:, None] + ry) * grid_w + (rect.x_min[:, None] + rx)
-    local = tile - tile_lo
-    in_range = (local >= 0) & (local < num_local_tiles)
+    if tile_stride == 1:
+        local = tile - tile_lo
+        owned = True
+    else:
+        off = tile - tile_lo
+        local = off // tile_stride
+        owned = off == local * tile_stride  # off >= 0 and divisible
+    in_range = owned & (local >= 0) & (local < num_local_tiles)
     valid = (ks < tiles_capped[:, None]) & in_range  # (N, K)
 
     key = jnp.where(

@@ -4,20 +4,31 @@ The parallelism design from SURVEY.md §2.5, replacing nothing in the
 reference (it is strictly single-GPU) but required by the north star:
 
   * Tile sharding ("SP"): the 16x16-tile grid of the reference
-    (GSCuda.cu:731-732) generalizes to a contiguous range of 8x128 tiles per
-    device. Every device preprocesses all Gaussians (cheap, embarrassingly
-    parallel over N), bins ONLY its own tile range (local sort, ~1/D of the
-    keys — the global radix sort of GSCuda.cu:791-797 becomes D independent
-    local sorts), blends its tiles, and the image is the concatenation —
-    no communication in the forward pass at all; XLA inserts the psum of
+    (GSCuda.cu:731-732) generalizes to a set of 8x128 tiles per device.
+    Every device preprocesses all Gaussians (cheap, embarrassingly parallel
+    over N), bins ONLY its own tiles (local sort, ~1/D of the keys — the
+    global radix sort of GSCuda.cu:791-797 becomes D independent local
+    sorts), blends its tiles, and the image is the reassembly — no
+    communication in the forward pass at all; XLA inserts the psum of
     parameter gradients in the backward (replicated-in -> psum-of-cotangents).
+    Tile ownership is INTERLEAVED round-robin (device d owns tiles
+    {d, d+D, ...}) so screen-space load concentrations spread evenly.
+
+  * Primitive (Gaussian) sharding (the renderer's "TP"): the Gaussian SoA —
+    the flat arrays of GSGaussians.cpp:121-137 — is sharded over the mesh.
+    Each device preprocesses/culls only its N/D Gaussians, routes its
+    (tile|depth, features) intersection records to the devices owning the
+    covered tiles with ONE all_to_all, then locally sorts and blends its own
+    tiles. Backward reverses the exchange (the all_to_all transposes to the
+    opposite all_to_all) — parameter gradients come back already sharded,
+    no psum over N needed.
 
   * Data parallelism: a batch of cameras sharded over the "data" axis; the
     per-device loss mean turns into a global psum in backward.
 
 Blending is per-tile independent (no ring pass needed — SURVEY.md §5
 "long-context analog"), so scaling efficiency is gated only by tile-load
-imbalance, which `shuffle_tiles` addresses by interleaving tile ownership.
+imbalance (addressed by interleaved ownership) and the key exchange volume.
 """
 
 from __future__ import annotations
@@ -27,15 +38,23 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from .. import config as cfg
 from ..camera import Camera
 from ..ops import binning as binning_ops
+from ..ops import projection
 from ..ops.preprocess import preprocess
 from ..render.dense import RenderOutput
-from ..render.tiled import blend_tiles_xla, untile
+from ..render.tiled import blend_tiles_xla, blend_sorted_xla, untile
+from ..render.pallas_pipeline import (
+    _blend,
+    _use_interpret,
+    pack_features,
+    pack_sorted_features,
+)
 from ..scene.gaussians import ActivatedGaussians
 from .mesh import DATA_AXIS, TILE_AXIS
 
@@ -44,23 +63,64 @@ def _tiles_per_device(num_tiles: int, n_dev: int) -> int:
     return -(-num_tiles // n_dev)
 
 
+def _tile_perm(num_tiles: int, n_dev: int, tpd: int,
+               interleave: bool) -> Optional[jnp.ndarray]:
+    """Global tile t -> row index in the all-gathered (n_dev * tpd) tile
+    stack. Contiguous ownership gathers in order (None = identity)."""
+    if not interleave or n_dev == 1:
+        return None
+    t = np.arange(num_tiles)
+    return jnp.asarray((t % n_dev) * tpd + t // n_dev, dtype=np.int32)
+
+
+def _blend_local(prep, binning, grid_h, grid_w, render_cfg, tpd, tile_lo,
+                 tile_stride, backend):
+    """Blend this device's local tiles with either backend. Returns
+    (tiles_rgb, final_t, n_contrib, overflow_per_tile) with the background
+    already composited (both backends match blend_tiles_xla semantics)."""
+    if backend == "pallas":
+        feat_packed = pack_features(
+            prep, binning, render_cfg.max_tiles_per_gaussian
+        )
+        tile_map = jnp.stack(
+            [jnp.asarray(tile_lo, jnp.int32),
+             jnp.asarray(tile_stride, jnp.int32)]
+        )
+        rgb, ft, nc = _blend(
+            feat_packed, binning.tile_starts, tile_map, grid_h, grid_w,
+            render_cfg.tile_h, render_cfg.tile_w, _use_interpret(), tpd,
+        )
+        background = jnp.asarray(render_cfg.background, jnp.float32)
+        rgb = rgb + ft[:, :, None] * background[None, None, :]
+        return rgb, ft, nc, jnp.int32(0)
+    tiles_rgb, final_t, n_contrib, ovf = blend_tiles_xla(
+        prep, binning, grid_h, grid_w, render_cfg,
+        num_local_tiles=tpd, tile_offset=tile_lo, tile_stride=tile_stride,
+    )
+    return tiles_rgb, final_t, n_contrib, ovf
+
+
 def render_tile_sharded(
     gaussians: ActivatedGaussians,
     camera: Camera,
     render_cfg: cfg.RenderConfig,
     mesh: Mesh,
     interleave: bool = True,
+    backend: Optional[str] = None,
 ) -> RenderOutput:
     """Tile-sharded forward (+ differentiable backward via shard_map AD).
 
-    `interleave=True` assigns tiles round-robin (device d owns tiles
+    `interleave=True` assigns tiles round-robin (device d of D owns tiles
     {d, d+D, d+2D, ...}) for load balance — screen-space locality means
     contiguous ranges concentrate the heavy tiles on few devices.
+    `backend` overrides render_cfg.backend ('xla' or 'pallas').
     """
+    backend = backend or render_cfg.backend
     grid_h, grid_w = render_cfg.grid_shape(camera.height, camera.width)
     num_tiles = grid_h * grid_w
     n_dev = mesh.shape[TILE_AXIS]
     tpd = _tiles_per_device(num_tiles, n_dev)
+    tile_stride = n_dev if interleave else 1
     local_capacity = render_cfg.capacity(
         gaussians.means.shape[0] // max(n_dev // 2, 1)
     )
@@ -68,21 +128,15 @@ def render_tile_sharded(
     def shard_fn(g: ActivatedGaussians):
         d = jax.lax.axis_index(TILE_AXIS)
         prep = preprocess(g, camera, render_cfg)
-        if interleave:
-            # Local tile j owns global tile j * D + d. Implemented by
-            # remapping the rect tile coordinates into "strided tile space":
-            # simplest correct form bins per-tile with a custom id map; we
-            # fall back to contiguous ranges when striding is off.
-            tile_lo = d * tpd
-        else:
-            tile_lo = d * tpd
+        tile_lo = d if interleave else d * tpd
         binning = binning_ops.build_binning(
             jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg,
             local_capacity, num_local_tiles=tpd, tile_lo=tile_lo,
+            tile_stride=tile_stride,
         )
-        tiles_rgb, final_t, n_contrib, ovf = blend_tiles_xla(
-            prep, binning, grid_h, grid_w, render_cfg,
-            num_local_tiles=tpd, tile_offset=tile_lo,
+        tiles_rgb, final_t, n_contrib, ovf = _blend_local(
+            prep, binning, grid_h, grid_w, render_cfg, tpd, tile_lo,
+            tile_stride, backend,
         )
         stats = jnp.stack(
             [
@@ -92,7 +146,7 @@ def render_tile_sharded(
                 ovf.astype(jnp.int32),
             ]
         )[None]
-        return tiles_rgb, final_t, n_contrib, stats
+        return tiles_rgb, final_t, n_contrib.astype(jnp.int32), stats
 
     in_spec = jax.tree.map(lambda _: P(), gaussians)
     tiles_rgb, final_t, n_contrib, stats = shard_map(
@@ -103,11 +157,16 @@ def render_tile_sharded(
         check_rep=False,
     )(gaussians)
 
-    tiles_rgb = tiles_rgb[:num_tiles]
-    final_t = final_t[:num_tiles]
-    n_contrib = n_contrib[:num_tiles]
+    perm = _tile_perm(num_tiles, n_dev, tpd, interleave)
+    if perm is None:
+        tiles_rgb = tiles_rgb[:num_tiles]
+        final_t = final_t[:num_tiles]
+        n_contrib = n_contrib[:num_tiles]
+    else:
+        tiles_rgb = tiles_rgb[perm]
+        final_t = final_t[perm]
+        n_contrib = n_contrib[perm]
 
-    background = jnp.asarray(render_cfg.background, jnp.float32)
     image = untile(tiles_rgb, grid_h, grid_w, render_cfg,
                    camera.height, camera.width)
     final_t_img = untile(final_t, grid_h, grid_w, render_cfg,
@@ -130,6 +189,255 @@ def render_tile_sharded(
     )
 
 
+@jax.custom_vjp
+def _permute_rows(x, perm, inv_perm):
+    """x[perm] with a gather-only VJP: the cotangent routes back through the
+    inverse permutation (TPU scatters serialize; same trick as the binning's
+    inv_pos). Requires perm to be a bijection on range(len(x))."""
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv_perm):
+    return x[perm], (inv_perm,)
+
+
+def _permute_rows_bwd(res, cot):
+    (inv_perm,) = res
+    z = np.zeros(inv_perm.shape, jax.dtypes.float0)
+    return cot[inv_perm], z, z
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def render_primitive_sharded(
+    gaussians: ActivatedGaussians,
+    camera: Camera,
+    render_cfg: cfg.RenderConfig,
+    mesh: Mesh,
+    backend: Optional[str] = None,
+    send_capacity: Optional[int] = None,
+) -> RenderOutput:
+    """Primitive-sharded forward/backward: Gaussians sharded over the mesh,
+    ONE all_to_all routes intersection records to tile owners (SURVEY §2.5
+    "the renderer's TP"; the reference's flat single-GPU arrays are
+    GSGaussians.cpp:121-137).
+
+    Per device d of D (contiguous tile ownership, tpd tiles each):
+      1. preprocess local N/D Gaussians (cull/project/conic/rect);
+      2. expand to (N/D, K) intersection slots; key = dest device | local
+         tile | quantized depth (the reference's 64-bit tile|depth key,
+         GSCuda.cu:461-474, plus a routing prefix);
+      3. ONE local sort groups slots by destination; fixed (D, c_send)
+         send buffers are filled by gather (overflow counted, never silent);
+      4. all_to_all exchanges keys + 9-float feature rows (mean2d, conic,
+         opacity, rgb) — the features travel WITH the keys so no device ever
+         materializes the full Gaussian set;
+      5. local sort by (tile|depth, global gaussian id) restores exact
+         global blend order; blend local tiles with either backend.
+    Backward: every step is a gather/collective whose transpose is a
+    gather/collective (the all_to_all reverses itself); parameter gradients
+    arrive already sharded over N — no gradient psum is needed.
+
+    `gaussians` leaves must carry a leading N divisible by D (use
+    `pad_gaussians`); arrays are interpreted as sharded over TILE_AXIS.
+    """
+    backend = backend or render_cfg.backend
+    grid_h, grid_w = render_cfg.grid_shape(camera.height, camera.width)
+    num_tiles = grid_h * grid_w
+    n_dev = mesh.shape[TILE_AXIS]
+    tpd = _tiles_per_device(num_tiles, n_dev)
+    n_total = gaussians.means.shape[0]
+    if n_total % n_dev != 0:
+        raise ValueError(
+            f"N={n_total} not divisible by {n_dev} devices; pad_gaussians()"
+        )
+    nl = n_total // n_dev
+    k_max = render_cfg.max_tiles_per_gaussian
+    if send_capacity is None:
+        # ~ per-(src,dst) expected volume with 4x skew headroom.
+        send_capacity = max(
+            256, -(-int(n_total * render_cfg.intersect_capacity_factor)
+                   // (n_dev * n_dev) * 4 // 128) * 128
+        )
+    c_send = -(-send_capacity // 128) * 128
+    c_recv = n_dev * c_send
+
+    # One headroom bit: the all-ones sentinel pattern must decode to a dest
+    # >= n_dev so dead slots fall past every real destination bucket.
+    dest_bits = max(2, n_dev.bit_length())
+    ltile_bits = (tpd + 1).bit_length()
+    depth_bits = 31 - dest_bits - ltile_bits
+    assert depth_bits >= 10, (
+        f"D={n_dev}, tpd={tpd} leaves {depth_bits} depth bits; use larger "
+        "tiles or fewer devices on the tile axis"
+    )
+    imax = jnp.iinfo(jnp.int32).max
+
+    def shard_fn(g: ActivatedGaussians):
+        d = jax.lax.axis_index(TILE_AXIS)
+        prep = preprocess(g, camera, render_cfg)
+        sprep = jax.lax.stop_gradient(prep)
+
+        # --- 2. intersection slots with routing keys (structure: no grad) --
+        tiles_capped = jnp.minimum(sprep.tiles_touched, k_max)
+        dshift = 31 - depth_bits
+        depth_q = projection.depth_order_key(sprep.depth) >> dshift  # (nl,)
+        rect = sprep.rect
+        rw = jnp.maximum(rect.x_max - rect.x_min, 1)
+        ks = jnp.arange(k_max, dtype=jnp.int32)[None, :]
+        ry = ks // rw[:, None]
+        rx = ks - ry * rw[:, None]
+        tile = (rect.y_min[:, None] + ry) * grid_w + (rect.x_min[:, None] + rx)
+        valid = (ks < tiles_capped[:, None]) & (tile >= 0) & (tile < num_tiles)
+        dest = tile // tpd
+        ltile = tile - dest * tpd
+        key = jnp.where(
+            valid,
+            (((dest << ltile_bits) | ltile) << depth_bits)
+            | depth_q[:, None],
+            imax,
+        ).reshape(-1)
+        slot = jnp.arange(nl * k_max, dtype=jnp.int32)
+        total = jnp.sum(valid, dtype=jnp.int32)
+
+        # --- 3. group by destination: one sort + fixed-buffer gather -------
+        skey, sslot = jax.lax.sort((key, slot), num_keys=1, is_stable=True)
+        sdest = jnp.minimum(skey >> (ltile_bits + depth_bits), n_dev)
+        dest_starts = jnp.searchsorted(
+            sdest, jnp.arange(n_dev + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        dcounts = dest_starts[1:] - dest_starts[:-1]
+        ovf_send = jnp.sum(jnp.maximum(dcounts - c_send, 0))
+
+        idx = dest_starts[:-1, None] + jnp.arange(c_send)[None, :]  # (D, Cs)
+        ok = idx < dest_starts[1:, None]
+        idx_c = jnp.minimum(idx, skey.shape[0] - 1)
+        lkey_mask = (1 << (ltile_bits + depth_bits)) - 1
+        send_key = jnp.where(ok, skey[idx_c] & lkey_mask, imax)
+        src_slot = sslot[idx_c]  # flat (n, k) slot on THIS device
+        send_gid = jnp.where(ok, d * nl + src_slot // k_max, -1)
+
+        feat_n = jnp.concatenate(
+            [
+                prep.mean2d,                # 0:2
+                prep.conic,                 # 2:5
+                prep.opacity[:, None],      # 5
+                prep.color,                 # 6:9
+            ],
+            axis=1,
+        )  # (nl, 9) — differentiable
+        send_feat = (
+            feat_n[src_slot // k_max]
+            * ok.astype(jnp.float32)[:, :, None]
+        )  # (D, Cs, 9)
+
+        # --- 4. the exchange ----------------------------------------------
+        recv_key = jax.lax.all_to_all(
+            send_key, TILE_AXIS, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(-1)
+        recv_gid = jax.lax.all_to_all(
+            send_gid, TILE_AXIS, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(-1)
+        recv_feat = jax.lax.all_to_all(
+            send_feat, TILE_AXIS, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(c_recv, 9)
+
+        # --- 5. local order restore + blend -------------------------------
+        pos = jnp.arange(c_recv, dtype=jnp.int32)
+        # Global blend order = (tile, depth, global gaussian id): matches the
+        # single-device binning's (tile|depth, slot) tie-break exactly.
+        _, _, perm = jax.lax.sort(
+            (recv_key, recv_gid, pos), num_keys=2, is_stable=True
+        )
+        _, inv_perm = jax.lax.sort((perm, pos), num_keys=1, is_stable=True)
+        sorted_key = recv_key[perm]
+        sorted_ltile = jnp.minimum(sorted_key >> depth_bits, tpd)
+        tile_starts = jnp.searchsorted(
+            sorted_ltile, jnp.arange(tpd + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        s_feat = _permute_rows(recv_feat, perm, inv_perm)  # (Cr, 9)
+        live = (sorted_key != imax).astype(jnp.float32)
+        tile_lo = d * tpd
+
+        if backend == "pallas":
+            feat_packed = pack_sorted_features(
+                s_feat * live[:, None], sorted_ltile
+            )
+            tile_map = jnp.stack(
+                [tile_lo.astype(jnp.int32), jnp.int32(1)]
+            )
+            rgb, ft, nc = _blend(
+                feat_packed, tile_starts, tile_map, grid_h, grid_w,
+                render_cfg.tile_h, render_cfg.tile_w, _use_interpret(), tpd,
+            )
+            background = jnp.asarray(render_cfg.background, jnp.float32)
+            rgb = rgb + ft[:, :, None] * background[None, None, :]
+            ovf_tile = jnp.int32(0)
+        else:
+            rgb, ft, nc, ovf_tile = blend_sorted_xla(
+                s_feat[:, 0:2], s_feat[:, 2:5], s_feat[:, 6:9],
+                s_feat[:, 5] * live, tile_starts, grid_h, grid_w,
+                render_cfg, num_local_tiles=tpd, tile_offset=tile_lo,
+            )
+
+        stats = jnp.stack(
+            [
+                jnp.minimum(total, c_recv),
+                ovf_send.astype(jnp.int32),
+                jnp.sum(sprep.tiles_touched - tiles_capped).astype(jnp.int32),
+                ovf_tile.astype(jnp.int32),
+            ]
+        )[None]
+        return rgb, ft, nc.astype(jnp.int32), stats
+
+    in_spec = jax.tree.map(lambda _: P(TILE_AXIS), gaussians)
+    tiles_rgb, final_t, n_contrib, stats = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(in_spec,),
+        out_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        check_rep=False,
+    )(gaussians)
+
+    tiles_rgb = tiles_rgb[:num_tiles]
+    final_t = final_t[:num_tiles]
+    n_contrib = n_contrib[:num_tiles]
+
+    image = untile(tiles_rgb, grid_h, grid_w, render_cfg,
+                   camera.height, camera.width)
+    final_t_img = untile(final_t, grid_h, grid_w, render_cfg,
+                         camera.height, camera.width)
+    n_contrib_img = untile(n_contrib, grid_h, grid_w, render_cfg,
+                           camera.height, camera.width)
+    agg = jnp.sum(stats, axis=0)
+    out_stats = {
+        "num_intersections": agg[0],
+        "overflow_capacity": agg[1],  # send-buffer drops (counted)
+        "overflow_tile_cap": agg[2],
+        "overflow_per_tile": agg[3],
+    }
+    return RenderOutput(
+        image=image, final_t=final_t_img, n_contrib=n_contrib_img,
+        stats=out_stats,
+    )
+
+
+def pad_gaussians(g: ActivatedGaussians, n_dev: int) -> ActivatedGaussians:
+    """Pad N to a multiple of n_dev with inert (opacity-0) Gaussians."""
+    n = g.means.shape[0]
+    target = -(-n // n_dev) * n_dev
+    if target == n:
+        return g
+    pad = target - n
+
+    def pad_leaf(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    return jax.tree.map(pad_leaf, g)
+
+
 def make_sharded_train_step(
     render_cfg: cfg.RenderConfig,
     mesh: Mesh,
@@ -138,16 +446,18 @@ def make_sharded_train_step(
     cameras_per_device: int = 1,
     ssim_weight: float = 0.2,
     optimizer=None,
+    interleave: bool = True,
+    backend: Optional[str] = None,
 ):
     """Data + tile parallel training step — ONE shard_map over both mesh axes.
 
     Layout per step:
       * camera batch B = n_data * cameras_per_device, sharded over "data";
-      * inside the shard, each camera renders its LOCAL tile range
-        ("tiles" axis), then an all_gather over "tiles" assembles the full
-        image for the loss (SSIM crosses tile borders, so the loss needs the
-        whole image); the all_gather's AD transpose is the reduce-scatter of
-        pixel cotangents — communication overlapped with backward by XLA's
+      * inside the shard, each camera renders its LOCAL tiles (interleaved
+        over the "tiles" axis), then an all_gather over "tiles" assembles the
+        full image for the loss (SSIM crosses tile borders, so the loss needs
+        the whole image); the all_gather's AD transpose is the reduce-scatter
+        of pixel cotangents — communication overlapped with backward by XLA's
         latency-hiding scheduler (the north-star overlap requirement);
       * replicated parameters transpose to a psum of gradients over the whole
         mesh (the grad all-reduce).
@@ -158,18 +468,20 @@ def make_sharded_train_step(
     from ..scene.gaussians import merge_params
     from ..train.loss import rgb_loss
 
+    backend = backend or render_cfg.backend
     n_data = mesh.shape[DATA_AXIS]
     n_tile = mesh.shape[TILE_AXIS]
     grid_h, grid_w = render_cfg.grid_shape(height, width)
     num_tiles = grid_h * grid_w
     tpd = _tiles_per_device(num_tiles, n_tile)
-    padded_tiles = tpd * n_tile
+    tile_stride = n_tile if interleave else 1
+    perm = _tile_perm(num_tiles, n_tile, tpd, interleave)
 
     def shard_fn(params, mask, cams_local, tgts_local):
         # cams_local: pytree with leading dim cameras_per_device (this data
         # shard's cameras); replicated across the tile axis.
         d_tile = jax.lax.axis_index(TILE_AXIS)
-        tile_lo = d_tile * tpd
+        tile_lo = d_tile if interleave else d_tile * tpd
         scene = merge_params(params, mask)
         act = scene.activated()
         local_capacity = render_cfg.capacity(
@@ -182,20 +494,20 @@ def make_sharded_train_step(
             binning = binning_ops.build_binning(
                 jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg,
                 local_capacity, num_local_tiles=tpd, tile_lo=tile_lo,
+                tile_stride=tile_stride,
             )
-            tiles_rgb, final_t, _nc, _ovf = blend_tiles_xla(
-                prep, binning, grid_h, grid_w, render_cfg,
-                num_local_tiles=tpd, tile_offset=tile_lo,
+            tiles_rgb, _ft, _nc, _ovf = _blend_local(
+                prep, binning, grid_h, grid_w, render_cfg, tpd, tile_lo,
+                tile_stride, backend,
             )
             # Assemble the full image: all_gather over the tile axis; its
             # transpose (backward) is a reduce-scatter of pixel cotangents.
             all_tiles = jax.lax.all_gather(
                 tiles_rgb, TILE_AXIS, axis=0, tiled=True
-            )[:num_tiles]
-            all_ft = jax.lax.all_gather(
-                final_t, TILE_AXIS, axis=0, tiled=True
-            )[:num_tiles]
-            del all_ft  # background is already composited by blend_tiles_xla
+            )
+            all_tiles = (
+                all_tiles[:num_tiles] if perm is None else all_tiles[perm]
+            )
             image = untile(all_tiles, grid_h, grid_w, render_cfg, height, width)
             return rgb_loss(image, tgt, ssim_weight)
 

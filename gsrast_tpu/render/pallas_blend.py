@@ -124,6 +124,7 @@ def _alpha_terms(f, px, py, t_f32):
 
 def _forward_kernel(
     starts_ref,  # scalar prefetch: (T+1,) i32 segment bounds (unaligned)
+    tmap_ref,  # scalar prefetch: (2,) i32 [tile_lo, tile_stride] — global id
     feat_ref,  # (R, 128) f32 packed transposed features in HBM
     out_ref,  # out block (1, P, 16): cols 6:9 rgb, 0 final_T, 1 n_contrib
     buf,  # VMEM (2, FROWS, 128) double buffer
@@ -139,7 +140,11 @@ def _forward_kernel(
     chunk0 = start // CHUNK
     nchunks = jnp.where(end > start, (end + CHUNK - 1) // CHUNK - chunk0, 0)
     p = tile_h * tile_w
-    px, py = _pixel_coords(t, grid_w, tile_h, tile_w)
+    # Tile-sharded path: local tile t renders GLOBAL tile lo + t*stride
+    # (stride = #devices when ownership is interleaved for load balance).
+    px, py = _pixel_coords(
+        tmap_ref[0] + t * tmap_ref[1], grid_w, tile_h, tile_w
+    )
     t_f32 = t.astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -217,15 +222,24 @@ def blend_forward(
     tile_h: int,
     tile_w: int,
     interpret: bool = False,
+    num_tiles: int | None = None,
+    tile_map: jax.Array | None = None,
 ) -> jax.Array:
-    """Returns (T, P, 16): cols 6:9 rgb, col 0 final_T, col 1 n_contrib."""
-    num_tiles = grid_h * grid_w
+    """Returns (T, P, 16): cols 6:9 rgb, col 0 final_T, col 1 n_contrib.
+
+    `num_tiles`/`tile_map` support the tile-sharded path: blend
+    `num_tiles` LOCAL tiles whose global ids (for pixel coordinates) are
+    tile_map[0] + local_id * tile_map[1]."""
+    if num_tiles is None:
+        num_tiles = grid_h * grid_w
+    if tile_map is None:
+        tile_map = jnp.array([0, 1], jnp.int32)
     p = tile_h * tile_w
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=[pl.BlockSpec((1, p, FROWS), lambda t, s: (t, 0, 0))],
+        out_specs=[pl.BlockSpec((1, p, FROWS), lambda t, s, m: (t, 0, 0))],
         scratch_shapes=[
             pltpu.VMEM((2, FROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -238,7 +252,7 @@ def blend_forward(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((num_tiles, p, FROWS), jnp.float32)],
         interpret=interpret,
-    )(tile_starts, feat_packed)[0]
+    )(tile_starts, tile_map.astype(jnp.int32), feat_packed)[0]
 
 
 # aux columns for the backward: one (T, P, 8) block carries everything
@@ -248,6 +262,7 @@ A_DR, A_DG, A_DB, A_DFT, A_FT, A_NC = range(6)
 
 def _backward_kernel(
     starts_ref,  # scalar prefetch (T+1,) i32 segment bounds (unaligned)
+    tmap_ref,  # scalar prefetch (2,) i32 [tile_lo, tile_stride]
     feat_ref,  # (R, 128) packed transposed features in HBM
     aux_ref,  # (1, P, 8): d_rgb, d_ft, saved final_T, saved n_contrib
     dfeat_ref,  # (R, 128) packed per-intersection grads out (HBM)
@@ -272,7 +287,9 @@ def _backward_kernel(
     # tile must accumulate rather than overwrite.
     shared_first = start % CHUNK != 0
     p = tile_h * tile_w
-    px, py = _pixel_coords(t, grid_w, tile_h, tile_w)
+    px, py = _pixel_coords(
+        tmap_ref[0] + t * tmap_ref[1], grid_w, tile_h, tile_w
+    )
     t_f32 = t.astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -431,16 +448,21 @@ def blend_backward(
     tile_h: int,
     tile_w: int,
     interpret: bool = False,
+    num_tiles: int | None = None,
+    tile_map: jax.Array | None = None,
 ) -> jax.Array:
-    num_tiles = grid_h * grid_w
+    if num_tiles is None:
+        num_tiles = grid_h * grid_w
+    if tile_map is None:
+        tile_map = jnp.array([0, 1], jnp.int32)
     p = tile_h * tile_w
     rows = feat_packed.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, p, 8), lambda t, s: (t, 0, 0)),
+            pl.BlockSpec((1, p, 8), lambda t, s, m: (t, 0, 0)),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         scratch_shapes=[
@@ -460,4 +482,4 @@ def blend_backward(
         out_shape=[jax.ShapeDtypeStruct((rows, CHUNK), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_starts, feat_packed, aux)[0]
+    )(tile_starts, tile_map.astype(jnp.int32), feat_packed, aux)[0]

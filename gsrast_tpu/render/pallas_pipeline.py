@@ -97,7 +97,16 @@ def pack_features(prep, binning: binning_ops.Binning,
     feat = _gather_sorted(
         feat_n, binning.sorted_gauss, binning.inv_pos, k_max
     )  # (C, 9)
-    tile_row = jax.lax.stop_gradient(binning.sorted_tile).astype(jnp.float32)
+    return pack_sorted_features(feat, binning.sorted_tile)
+
+
+def pack_sorted_features(feat: jax.Array, sorted_tile: jax.Array) -> jax.Array:
+    """(C, 9) per-intersection rows already in sorted order + (C,) local tile
+    ids -> the kernels' transposed chunk layout (C/128 * 16, 128). Used
+    directly by the primitive-sharded path, where features arrive through the
+    all_to_all exchange instead of a local per-Gaussian gather."""
+    c = feat.shape[0]
+    tile_row = jax.lax.stop_gradient(sorted_tile).astype(jnp.float32)
     feat = jnp.concatenate(
         [feat, tile_row[:, None], jnp.zeros((c, pb.FROWS - 10), jnp.float32)],
         axis=1,
@@ -109,11 +118,12 @@ def pack_features(prep, binning: binning_ops.Binning,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _blend(feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w,
-           interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _blend(feat_packed, tile_starts, tile_map, grid_h, grid_w, tile_h,
+           tile_w, interpret, num_tiles):
     out = pb.blend_forward(
-        feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w, interpret
+        feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w, interpret,
+        num_tiles=num_tiles, tile_map=tile_map,
     )
     rgb = out[:, :, pb.OC_R : pb.OC_B + 1]
     ft = out[:, :, pb.OC_FT]
@@ -121,16 +131,18 @@ def _blend(feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w,
     return rgb, ft, nc
 
 
-def _blend_fwd(feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w,
-               interpret):
+def _blend_fwd(feat_packed, tile_starts, tile_map, grid_h, grid_w, tile_h,
+               tile_w, interpret, num_tiles):
     rgb, ft, nc = _blend(
-        feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w, interpret
+        feat_packed, tile_starts, tile_map, grid_h, grid_w, tile_h, tile_w,
+        interpret, num_tiles,
     )
-    return (rgb, ft, nc), (feat_packed, tile_starts, ft, nc)
+    return (rgb, ft, nc), (feat_packed, tile_starts, tile_map, ft, nc)
 
 
-def _blend_bwd(grid_h, grid_w, tile_h, tile_w, interpret, res, cots):
-    feat_packed, tile_starts, ft, nc = res
+def _blend_bwd(grid_h, grid_w, tile_h, tile_w, interpret, num_tiles_s,
+               res, cots):
+    feat_packed, tile_starts, tile_map, ft, nc = res
     d_rgb, d_ft, _d_nc = cots  # n_contrib is integer output: no gradient
     num_tiles, p = ft.shape
     aux = jnp.concatenate(
@@ -145,7 +157,7 @@ def _blend_bwd(grid_h, grid_w, tile_h, tile_w, interpret, res, cots):
     )
     dfeat = pb.blend_backward(
         feat_packed, tile_starts, aux, grid_h, grid_w, tile_h, tile_w,
-        interpret,
+        interpret, num_tiles=num_tiles_s, tile_map=tile_map,
     )
     # Chunks past the last real segment are never written by any tile
     # (uninitialized output memory): zero them. Row r belongs to chunk
@@ -154,7 +166,8 @@ def _blend_bwd(grid_h, grid_w, tile_h, tile_w, interpret, res, cots):
     live_chunks = (tile_starts[-1] + pb.CHUNK - 1) // pb.CHUNK
     dfeat = jnp.where((row < live_chunks * pb.FROWS)[:, None], dfeat, 0.0)
     d_starts = np.zeros(tile_starts.shape, jax.dtypes.float0)
-    return dfeat, d_starts
+    d_map = np.zeros(tile_map.shape, jax.dtypes.float0)
+    return dfeat, d_starts, d_map
 
 
 _blend.defvjp(_blend_fwd, _blend_bwd)
@@ -185,8 +198,8 @@ def render_tiled_pallas(
         prep, binning, render_cfg.max_tiles_per_gaussian
     )
     rgb_tiles, ft_tiles, nc_tiles = _blend(
-        feat_packed, binning.tile_starts, grid_h, grid_w, tile_h, tile_w,
-        interpret,
+        feat_packed, binning.tile_starts, jnp.array([0, 1], jnp.int32),
+        grid_h, grid_w, tile_h, tile_w, interpret, num_tiles,
     )
 
     background = jnp.asarray(render_cfg.background, jnp.float32)

@@ -47,20 +47,15 @@ def blend_tiles_xla(
     render_cfg: cfg.RenderConfig,
     num_local_tiles: int | None = None,
     tile_offset=0,
+    tile_stride: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Blend all tiles. Returns (tiles_rgb (T, P, 3), final_t (T, P),
     n_contrib (T, P), overflow_per_tile_cap scalar).
 
-    `num_local_tiles`/`tile_offset` support the tile-sharded path: this rank
-    blends local tiles [0, num_local_tiles) whose GLOBAL ids (for pixel
-    coordinates) are tile_offset + local id.
+    `num_local_tiles`/`tile_offset`/`tile_stride` support the tile-sharded
+    path: this rank blends local tiles [0, num_local_tiles) whose GLOBAL ids
+    (for pixel coordinates) are tile_offset + local_id * tile_stride.
     """
-    num_tiles = grid_h * grid_w if num_local_tiles is None else num_local_tiles
-    tile_offset = jnp.asarray(tile_offset, jnp.int32)
-    k_tile = render_cfg.max_per_tile
-    tile_chunk = render_cfg.tile_chunk
-    background = jnp.asarray(render_cfg.background, jnp.float32)
-
     # Per-intersection state in sorted order (gather; transposes to
     # scatter-add in the backward pass automatically).
     gidx = jnp.maximum(binning.sorted_gauss, 0)
@@ -68,22 +63,49 @@ def blend_tiles_xla(
     s_conic = prep.conic[gidx]
     s_color = prep.color[gidx]
     s_opacity = jnp.where(binning.sorted_gauss >= 0, prep.opacity[gidx], 0.0)
+    return blend_sorted_xla(
+        s_mean2d, s_conic, s_color, s_opacity, binning.tile_starts,
+        grid_h, grid_w, render_cfg, num_local_tiles, tile_offset, tile_stride,
+    )
 
-    starts = binning.tile_starts[:-1]
-    ends = binning.tile_starts[1:]
+
+def blend_sorted_xla(
+    s_mean2d: jax.Array,   # (C, 2) per-intersection, (tile|depth)-sorted
+    s_conic: jax.Array,    # (C, 3)
+    s_color: jax.Array,    # (C, 3)
+    s_opacity: jax.Array,  # (C,) 0 for dead slots
+    tile_starts: jax.Array,  # (T+1,)
+    grid_h: int,
+    grid_w: int,
+    render_cfg: cfg.RenderConfig,
+    num_local_tiles: int | None = None,
+    tile_offset=0,
+    tile_stride: int = 1,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Core of `blend_tiles_xla` over pre-gathered per-intersection features
+    (the primitive-sharded path receives features via all_to_all rather than
+    gathering them from a local Preprocessed)."""
+    num_tiles = grid_h * grid_w if num_local_tiles is None else num_local_tiles
+    tile_offset = jnp.asarray(tile_offset, jnp.int32)
+    k_tile = render_cfg.max_per_tile
+    tile_chunk = render_cfg.tile_chunk
+    background = jnp.asarray(render_cfg.background, jnp.float32)
+
+    starts = tile_starts[:-1]
+    ends = tile_starts[1:]
     counts = ends - starts
     overflow = jnp.sum(jnp.maximum(counts - k_tile, 0))
 
     px_off, py_off = tile_pixel_coords(render_cfg)  # (P,)
     p = px_off.shape[0]
-    capacity = binning.sorted_gauss.shape[0]
+    capacity = s_opacity.shape[0]
 
     num_chunks = -(-num_tiles // tile_chunk)
 
     def do_chunk(chunk_idx):
         t0 = chunk_idx * tile_chunk
         tids = jnp.minimum(t0 + jnp.arange(tile_chunk), num_tiles - 1)
-        gids = tids + tile_offset  # global tile id -> pixel coordinates
+        gids = tile_offset + tids * tile_stride  # global id -> pixel coords
         ty = gids // grid_w
         tx = gids - ty * grid_w
         # (TC, P) absolute pixel centers

@@ -66,7 +66,6 @@ def camera_report(camera: Camera) -> Dict:
         "near_far": [float(camera.znear), float(camera.zfar)],
         "width": camera.width,
         "height": camera.height,
-        "image": [camera.width, camera.height],
     }
 
 

@@ -14,6 +14,8 @@ from gsrast_tpu import Camera, RenderConfig, random_scene
 from gsrast_tpu.camera import look_at
 from gsrast_tpu.parallel.mesh import make_mesh
 from gsrast_tpu.parallel.sharded import (make_sharded_train_step,
+                                         pad_gaussians,
+                                         render_primitive_sharded,
                                          render_tile_sharded)
 from gsrast_tpu.render.tiled import render_tiled_xla
 from gsrast_tpu.scene.gaussians import split_params
@@ -42,23 +44,33 @@ def scene():
 
 
 class TestTileSharded:
-    def test_matches_single_device(self, scene):
+    @pytest.mark.parametrize("interleave", [False, True])
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_matches_single_device(self, scene, interleave, backend):
         camera = make_camera()
         mesh = make_mesh((1, 4), jax.devices()[:4])
         ref = render_tiled_xla(scene.activated(), camera, CFG)
-        out = render_tile_sharded(scene.activated(), camera, CFG, mesh)
+        out = jax.jit(
+            lambda a: render_tile_sharded(
+                a, camera, CFG, mesh, interleave=interleave, backend=backend
+            )
+        )(scene.activated())
         np.testing.assert_allclose(
             np.asarray(out.image), np.asarray(ref.image), atol=2e-5
         )
 
-    def test_gradients_match_single_device(self, scene):
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_gradients_match_single_device(self, scene, backend):
         camera = make_camera()
         mesh = make_mesh((1, 4), jax.devices()[:4])
         act = scene.activated()
 
         def loss_sharded(means):
             a = act.replace(means=means)
-            return jnp.sum(render_tile_sharded(a, camera, CFG, mesh).image)
+            return jnp.sum(
+                render_tile_sharded(a, camera, CFG, mesh,
+                                    backend=backend).image
+            )
 
         def loss_ref(means):
             a = act.replace(means=means)
@@ -71,6 +83,62 @@ class TestTileSharded:
         np.testing.assert_allclose(
             np.asarray(g_sh), np.asarray(g_ref), atol=5e-4, rtol=1e-3
         )
+
+
+class TestPrimitiveSharded:
+    """The all-to-all key-exchange path: Gaussians sharded over the mesh
+    (SURVEY §2.5 'the renderer's TP'; VERDICT r1 missing #2)."""
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_matches_single_device(self, scene, backend):
+        camera = make_camera()
+        mesh = make_mesh((1, 4), jax.devices()[:4])
+        act = pad_gaussians(scene.activated(), 4)
+        ref = render_tiled_xla(act, camera, CFG)
+        out = jax.jit(
+            lambda a: render_primitive_sharded(
+                a, camera, CFG, mesh, backend=backend
+            )
+        )(act)
+        assert int(out.stats["overflow_capacity"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(out.image), np.asarray(ref.image), atol=2e-5
+        )
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_gradients_match_single_device(self, scene, backend):
+        camera = make_camera()
+        mesh = make_mesh((1, 4), jax.devices()[:4])
+        act = pad_gaussians(scene.activated(), 4)
+
+        def loss_sharded(means):
+            a = act.replace(means=means)
+            return jnp.sum(
+                render_primitive_sharded(a, camera, CFG, mesh,
+                                         backend=backend).image
+            )
+
+        def loss_ref(means):
+            a = act.replace(means=means)
+            return jnp.sum(render_tiled_xla(a, camera, CFG).image)
+
+        g_sh = jax.jit(jax.grad(loss_sharded))(act.means)
+        g_ref = jax.jit(jax.grad(loss_ref))(act.means)
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_ref), atol=5e-4, rtol=1e-3
+        )
+
+    def test_send_overflow_counted(self, scene):
+        """Tiny send buffers must COUNT drops, never silently truncate."""
+        camera = make_camera()
+        mesh = make_mesh((1, 2), jax.devices()[:2])
+        act = pad_gaussians(scene.activated(), 2)
+        out = jax.jit(
+            lambda a: render_primitive_sharded(
+                a, camera, CFG, mesh, send_capacity=128
+            )
+        )(act)
+        assert int(out.stats["overflow_capacity"]) > 0
 
 
 class TestShardedTrainStep:
