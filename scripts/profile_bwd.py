@@ -69,12 +69,15 @@ def main():
         p, grid_h, grid_w, cfg, capacity))(prep)
 
     # grad of preprocess alone (cotangent = ones on the used outputs)
-    def prep_loss(a):
-        p = preprocess(a, camera, cfg)
+    afloats = {k: getattr(act, k)
+               for k in ("means", "scales", "quats", "opacities", "sh")}
+
+    def prep_loss(floats):
+        p = preprocess(act.replace(**floats), camera, cfg)
         return (jnp.sum(p.mean2d) + jnp.sum(p.conic) + jnp.sum(p.color)
                 + jnp.sum(p.opacity))
-    f = jax.jit(jax.grad(lambda a: prep_loss(a)))
-    print(f"prep fwd+bwd:        {timeit(f, act, iters=args.iters):9.2f} ms")
+    f = jax.jit(jax.grad(prep_loss))
+    print(f"prep fwd+bwd:        {timeit(f, afloats, iters=args.iters):9.2f} ms")
 
     # grad of pack alone wrt prep float fields
     def pack_loss(pfloats, b):
@@ -89,8 +92,10 @@ def main():
     def blend_loss(pfloats, b):
         p2 = prep._replace(**pfloats)
         feat = pp.pack_features(p2, b, args.max_tiles)
-        rgb, ft, nc = pp._blend(feat, b.tile_starts, grid_h, grid_w,
-                                args.tile_h, args.tile_w, False)
+        rgb, ft, nc = pp._blend(feat, b.tile_starts,
+                                jnp.array([0, 1], jnp.int32), grid_h, grid_w,
+                                args.tile_h, args.tile_w, False,
+                                grid_h * grid_w)
         return jnp.sum(rgb) + jnp.sum(ft)
     f = jax.jit(jax.grad(blend_loss))
     print(f"pack+blend fwd+bwd:  {timeit(f, pfloats, binning, iters=args.iters):9.2f} ms")
