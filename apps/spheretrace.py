@@ -21,6 +21,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# The axon sitecustomize pins jax to the TPU plugin even when the environment
+# says JAX_PLATFORMS=cpu (it registers before this file runs); honor the env
+# var explicitly so subprocess tests never land on a busy TPU tunnel.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import numpy as np
 

@@ -150,12 +150,19 @@ def cmd_train(argv) -> None:
     ap = argparse.ArgumentParser(prog="gsrast_tpu train")
     ap.add_argument("--scene", required=True,
                     help=".ply initialization (or 'random:N')")
+    ap.add_argument("--data", default=None,
+                    help="multi-view dataset directory (cameras.json + PNGs; "
+                         "scene/dataset.py format) — round-robin per step")
     ap.add_argument("--target", default=None,
                     help="target image PNG for single-view fitting demo")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--ckpt-dir", default="ckpts")
     ap.add_argument("--ckpt-every", type=int, default=500)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--save-ply", default=None,
+                    help="write the trained scene as .ply when done")
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="scene capacity (free slots for densification)")
     _add_common(ap)
     args = ap.parse_args(argv)
 
@@ -166,7 +173,7 @@ def cmd_train(argv) -> None:
 
     from . import config as cfg
     from .render.api import render
-    from .scene.gaussians import random_scene
+    from .scene.gaussians import pad_to_capacity, random_scene
     from .train import checkpoint as ckpt
     from .train.trainer import (TrainConfig, init_train_state, make_optimizer,
                                 make_train_step, maybe_densify)
@@ -177,15 +184,28 @@ def cmd_train(argv) -> None:
                              int(args.scene.split(":")[1]))
     else:
         scene = _load(args.scene)
-    camera = _camera(args, scene)
+    if args.capacity:
+        scene = pad_to_capacity(scene, args.capacity)
     rcfg = cfg.RenderConfig(backend=_backend(args))
 
-    if args.target:
-        target = jnp.asarray(load_png(args.target))
-        camera = camera.replace(width=target.shape[1], height=target.shape[0])
+    if args.data:
+        from .scene.dataset import load_dataset
+
+        ds = load_dataset(args.data)
+        frames = [(ds.cameras[i], jnp.asarray(ds.images[i]))
+                  for i in range(ds.num_frames)]
+        print(f"dataset: {ds.num_frames} views "
+              f"{ds.cameras[0].width}x{ds.cameras[0].height} from {args.data}")
     else:
-        # Self-distillation demo: fit to the scene's own render.
-        target = render(scene.activated(), camera, rcfg).image
+        camera = _camera(args, scene)
+        if args.target:
+            target = jnp.asarray(load_png(args.target))
+            camera = camera.replace(width=target.shape[1],
+                                    height=target.shape[0])
+        else:
+            # Self-distillation demo: fit to the scene's own render.
+            target = render(scene.activated(), camera, rcfg).image
+        frames = [(camera, target)]
 
     mn, mx = scene.bbox()
     extent = float(np.linalg.norm(np.asarray(mx) - np.asarray(mn))) or 1.0
@@ -198,18 +218,103 @@ def cmd_train(argv) -> None:
             state = restored
             print(f"resumed from step {int(state.step)}")
     step_fn = jax.jit(make_train_step(rcfg, tc, optimizer))
-    key = jax.random.PRNGKey(1)
-    for i in range(int(state.step), args.steps):
-        state, metrics = step_fn(state, camera, target)
-        key, sub = jax.random.split(key)
-        state, _info = maybe_densify(state, tc, sub, extent, optimizer)
+
+    def one_step(st, i):
+        camera, target = frames[i % len(frames)]
+        st, metrics = step_fn(st, camera, target)
+        sub = jax.random.fold_in(jax.random.PRNGKey(1), i)
+        st, _info = maybe_densify(st, tc, sub, extent, optimizer)
         if i % 100 == 0 or i == args.steps - 1:
             print(f"step {i}: loss={float(metrics['loss']):.5f} "
-                  f"psnr={float(metrics['psnr']):.2f}")
-        if args.ckpt_every and (i + 1) % args.ckpt_every == 0:
-            ckpt.save(args.ckpt_dir, state)
-    ckpt.save(args.ckpt_dir, state)
+                  f"psnr={float(metrics['psnr']):.2f} "
+                  f"active={int(metrics['num_active'])}")
+        return st, metrics
+
+    # Survival loop: checkpoints, NaN rollback, SIGTERM-preemption save,
+    # heartbeat (train/resilience.py).
+    from .train.resilience import ResilienceConfig, run_resilient
+
+    rc = ResilienceConfig(
+        ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every or 500,
+        heartbeat_path=f"{args.ckpt_dir}/heartbeat.json",
+    )
+    state, stopped = run_resilient(state, args.steps, one_step, rc)
+    if stopped:
+        print("stopped early on preemption signal (checkpoint saved)")
+    if args.save_ply:
+        from .scene.ply import save_ply
+
+        save_ply(state.scene, args.save_ply)
+        print(f"saved trained scene -> {args.save_ply}")
     print(f"done; checkpoints in {args.ckpt_dir}")
+
+
+def cmd_make_dataset(argv) -> None:
+    """Render a scene from an orbit rig into a multi-view training dataset
+    (the synthetic ground-truth generator for `train --data`)."""
+    ap = argparse.ArgumentParser(prog="gsrast_tpu make-dataset")
+    ap.add_argument("scene", help=".ply scene (or 'random:N')")
+    ap.add_argument("--out", required=True, help="dataset directory")
+    ap.add_argument("--views", type=int, default=16)
+    _add_common(ap)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from . import config as cfg
+    from .scene.dataset import render_synthetic_dataset
+    from .scene.gaussians import random_scene
+
+    if args.scene.startswith("random:"):
+        scene = random_scene(jax.random.PRNGKey(0),
+                             int(args.scene.split(":")[1]))
+    else:
+        scene = _load(args.scene)
+    width = args.width or 256
+    height = args.height or 256
+    rcfg = cfg.RenderConfig(backend=_backend(args))
+    path, cams = render_synthetic_dataset(
+        scene, args.out, n_views=args.views, width=width, height=height,
+        render_cfg=rcfg,
+    )
+    print(f"wrote {len(cams)} views to {path}")
+
+
+def cmd_bench(argv) -> None:
+    """North-star benchmark + per-stage fwd+bwd decomposition. The headline
+    number uses the SAME code path and config as the driver's bench.py
+    (gsrast_tpu/benchmark.py is the single source of truth)."""
+    ap = argparse.ArgumentParser(prog="gsrast_tpu bench")
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--backend", default=None, choices=["pallas", "xla"])
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--no-stages", action="store_true",
+                    help="skip the per-stage table (headline only)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from . import benchmark
+
+    benchmark.enable_compile_cache()
+    backend = args.backend or (
+        "pallas" if jax.default_backend() == "tpu" else "xla")
+
+    if not args.no_stages:
+        stages = benchmark.stage_table(
+            args.n, args.width, args.height, backend, iters=args.iters)
+        print(benchmark.format_stage_table(stages, args.width, args.height))
+
+    best_ms, mpix_s = benchmark.run_bench(
+        args.n, args.width, args.height, backend, iters=args.iters)
+    print(json.dumps({
+        "metric": "mpixels_per_s_per_chip_fwd_bwd",
+        "n": args.n, "width": args.width, "height": args.height,
+        "backend": backend, "best_ms": round(best_ms, 2),
+        "value": round(mpix_s, 3), "unit": "Mpixels/s/chip",
+    }))
 
 
 COMMANDS = {
@@ -217,6 +322,8 @@ COMMANDS = {
     "info": cmd_info,
     "pose": cmd_pose,
     "train": cmd_train,
+    "make-dataset": cmd_make_dataset,
+    "bench": cmd_bench,
 }
 
 

@@ -59,8 +59,14 @@ class RenderConfig:
       tile_h/tile_w: pixel tile shape. Defaults (8, 128) = one f32 vreg on TPU
         (the reference uses 16x16 for 256 CUDA threads, GSCuda.cu:20-21; the
         tile shape is an internal detail, not observable in the output).
-      max_tiles_per_gaussian: static cap on how many tiles one Gaussian may be
-        binned into. Overflow is *counted* (no silent caps) in RenderStats.
+      max_tiles_per_gaussian: static cap K on how many (owned) tiles one
+        Gaussian may be binned into. The binning is an elementwise (N, K)
+        slot grid — the fastest structure on TPU by measurement (see
+        ops/binning.py module docstring) — so K bounds both sort length and
+        backward gather size; size it to the scene's true per-Gaussian tile
+        maximum (`scripts/scene_stats.py` reports it; the 1M/1080p bench
+        scene's max is 16). Overflow is *counted* (no silent caps) in
+        RenderStats.
       intersect_capacity_factor: static capacity of the (tile|depth) key list,
         as a multiple of N. The reference sizes this buffer exactly via a
         device->host readback of the scanned total (GSCuda.cu:771-784); on TPU
@@ -75,7 +81,7 @@ class RenderConfig:
 
     tile_h: int = 8
     tile_w: int = 128
-    max_tiles_per_gaussian: int = 64
+    max_tiles_per_gaussian: int = 32
     intersect_capacity_factor: float = 4.0
     tile_chunk: int = 16
     max_per_tile: int = 1024

@@ -11,8 +11,10 @@ reference (it is strictly single-GPU) but required by the north star:
     sorts), blends its tiles, and the image is the reassembly — no
     communication in the forward pass at all; XLA inserts the psum of
     parameter gradients in the backward (replicated-in -> psum-of-cotangents).
-    Tile ownership is INTERLEAVED round-robin (device d owns tiles
-    {d, d+D, ...}) so screen-space load concentrations spread evenly.
+    Ownership is BY TILE ROW, interleaved round-robin (device d owns rows
+    {d, d+D, ...}) so screen-space load concentrations spread evenly; row
+    (not flat-id) ownership keeps each device's owned-tile count of a rect in
+    closed form, so binning expands only owned intersections (ops/binning.py).
 
   * Primitive (Gaussian) sharding (the renderer's "TP"): the Gaussian SoA —
     the flat arrays of GSGaussians.cpp:121-137 — is sharded over the mesh.
@@ -59,32 +61,38 @@ from ..scene.gaussians import ActivatedGaussians
 from .mesh import DATA_AXIS, TILE_AXIS
 
 
-def _tiles_per_device(num_tiles: int, n_dev: int) -> int:
-    return -(-num_tiles // n_dev)
+def _rows_per_device(grid_h: int, n_dev: int) -> int:
+    return -(-grid_h // n_dev)
 
 
-def _tile_perm(num_tiles: int, n_dev: int, tpd: int,
+def _tile_perm(grid_h: int, grid_w: int, n_dev: int, rpd: int,
                interleave: bool) -> Optional[jnp.ndarray]:
-    """Global tile t -> row index in the all-gathered (n_dev * tpd) tile
-    stack. Contiguous ownership gathers in order (None = identity)."""
-    if not interleave or n_dev == 1:
+    """Global tile t -> row index in the all-gathered (n_dev * rpd * grid_w)
+    tile stack under row-based ownership (None = identity)."""
+    if n_dev == 1:
         return None
-    t = np.arange(num_tiles)
-    return jnp.asarray((t % n_dev) * tpd + t // n_dev, dtype=np.int32)
+    t = np.arange(grid_h * grid_w)
+    y, x = t // grid_w, t % grid_w
+    if interleave:
+        dev, rho = y % n_dev, y // n_dev
+    else:
+        dev, rho = y // rpd, y % rpd
+    return jnp.asarray(dev * (rpd * grid_w) + rho * grid_w + x,
+                       dtype=np.int32)
 
 
-def _blend_local(prep, binning, grid_h, grid_w, render_cfg, tpd, tile_lo,
-                 tile_stride, backend):
+def _blend_local(prep, binning, grid_h, grid_w, render_cfg, num_local_rows,
+                 row0, row_stride, backend):
     """Blend this device's local tiles with either backend. Returns
     (tiles_rgb, final_t, n_contrib, overflow_per_tile) with the background
     already composited (both backends match blend_tiles_xla semantics)."""
+    tpd = num_local_rows * grid_w
     if backend == "pallas":
         feat_packed = pack_features(
-            prep, binning, render_cfg.max_tiles_per_gaussian
-        )
+            prep, binning, render_cfg.max_tiles_per_gaussian)
         tile_map = jnp.stack(
-            [jnp.asarray(tile_lo, jnp.int32),
-             jnp.asarray(tile_stride, jnp.int32)]
+            [jnp.asarray(row0, jnp.int32),
+             jnp.asarray(row_stride, jnp.int32)]
         )
         rgb, ft, nc = _blend(
             feat_packed, binning.tile_starts, tile_map, grid_h, grid_w,
@@ -95,7 +103,7 @@ def _blend_local(prep, binning, grid_h, grid_w, render_cfg, tpd, tile_lo,
         return rgb, ft, nc, jnp.int32(0)
     tiles_rgb, final_t, n_contrib, ovf = blend_tiles_xla(
         prep, binning, grid_h, grid_w, render_cfg,
-        num_local_tiles=tpd, tile_offset=tile_lo, tile_stride=tile_stride,
+        num_local_rows=num_local_rows, row0=row0, row_stride=row_stride,
     )
     return tiles_rgb, final_t, n_contrib, ovf
 
@@ -110,7 +118,7 @@ def render_tile_sharded(
 ) -> RenderOutput:
     """Tile-sharded forward (+ differentiable backward via shard_map AD).
 
-    `interleave=True` assigns tiles round-robin (device d of D owns tiles
+    `interleave=True` assigns tile ROWS round-robin (device d of D owns rows
     {d, d+D, d+2D, ...}) for load balance — screen-space locality means
     contiguous ranges concentrate the heavy tiles on few devices.
     `backend` overrides render_cfg.backend ('xla' or 'pallas').
@@ -119,8 +127,8 @@ def render_tile_sharded(
     grid_h, grid_w = render_cfg.grid_shape(camera.height, camera.width)
     num_tiles = grid_h * grid_w
     n_dev = mesh.shape[TILE_AXIS]
-    tpd = _tiles_per_device(num_tiles, n_dev)
-    tile_stride = n_dev if interleave else 1
+    rpd = _rows_per_device(grid_h, n_dev)
+    row_stride = n_dev if interleave else 1
     local_capacity = render_cfg.capacity(
         gaussians.means.shape[0] // max(n_dev // 2, 1)
     )
@@ -128,15 +136,15 @@ def render_tile_sharded(
     def shard_fn(g: ActivatedGaussians):
         d = jax.lax.axis_index(TILE_AXIS)
         prep = preprocess(g, camera, render_cfg)
-        tile_lo = d if interleave else d * tpd
+        row0 = d if interleave else d * rpd
         binning = binning_ops.build_binning(
             jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg,
-            local_capacity, num_local_tiles=tpd, tile_lo=tile_lo,
-            tile_stride=tile_stride,
+            local_capacity, num_local_rows=rpd, row0=row0,
+            row_stride=row_stride,
         )
         tiles_rgb, final_t, n_contrib, ovf = _blend_local(
-            prep, binning, grid_h, grid_w, render_cfg, tpd, tile_lo,
-            tile_stride, backend,
+            prep, binning, grid_h, grid_w, render_cfg, rpd, row0,
+            row_stride, backend,
         )
         stats = jnp.stack(
             [
@@ -157,7 +165,7 @@ def render_tile_sharded(
         check_rep=False,
     )(gaussians)
 
-    perm = _tile_perm(num_tiles, n_dev, tpd, interleave)
+    perm = _tile_perm(grid_h, grid_w, n_dev, rpd, interleave)
     if perm is None:
         tiles_rgb = tiles_rgb[:num_tiles]
         final_t = final_t[:num_tiles]
@@ -178,7 +186,7 @@ def render_tile_sharded(
     out_stats = {
         "num_intersections": agg[0],
         "overflow_capacity": agg[1],
-        "overflow_tile_cap": agg[2] // max(n_dev, 1),  # replicated count
+        "overflow_tile_cap": agg[2],
         "overflow_per_tile": agg[3],
     }
     return RenderOutput(
@@ -223,11 +231,12 @@ def render_primitive_sharded(
     "the renderer's TP"; the reference's flat single-GPU arrays are
     GSGaussians.cpp:121-137).
 
-    Per device d of D (contiguous tile ownership, tpd tiles each):
+    Per device d of D (contiguous tile-ROW ownership, rpd rows each):
       1. preprocess local N/D Gaussians (cull/project/conic/rect);
-      2. expand to (N/D, K) intersection slots; key = dest device | local
-         tile | quantized depth (the reference's 64-bit tile|depth key,
-         GSCuda.cu:461-474, plus a routing prefix);
+      2. expand the true per-Gaussian intersection lists (searchsorted
+         expansion, ops/binning.py — no per-Gaussian cap); key = dest device
+         | local tile | quantized depth (the reference's 64-bit tile|depth
+         key, GSCuda.cu:461-474, plus a routing prefix);
       3. ONE local sort groups slots by destination; fixed (D, c_send)
          send buffers are filled by gather (overflow counted, never silent);
       4. all_to_all exchanges keys + 9-float feature rows (mean2d, conic,
@@ -246,14 +255,15 @@ def render_primitive_sharded(
     grid_h, grid_w = render_cfg.grid_shape(camera.height, camera.width)
     num_tiles = grid_h * grid_w
     n_dev = mesh.shape[TILE_AXIS]
-    tpd = _tiles_per_device(num_tiles, n_dev)
+    rpd = _rows_per_device(grid_h, n_dev)  # contiguous row ownership
+    tpd = rpd * grid_w
     n_total = gaussians.means.shape[0]
     if n_total % n_dev != 0:
         raise ValueError(
             f"N={n_total} not divisible by {n_dev} devices; pad_gaussians()"
         )
     nl = n_total // n_dev
-    k_max = render_cfg.max_tiles_per_gaussian
+    c_exp = render_cfg.capacity(nl)  # local expansion capacity
     if send_capacity is None:
         # ~ per-(src,dst) expected volume with 4x skew headroom.
         send_capacity = max(
@@ -280,28 +290,29 @@ def render_primitive_sharded(
         sprep = jax.lax.stop_gradient(prep)
 
         # --- 2. intersection slots with routing keys (structure: no grad) --
-        tiles_capped = jnp.minimum(sprep.tiles_touched, k_max)
         dshift = 31 - depth_bits
         depth_q = projection.depth_order_key(sprep.depth) >> dshift  # (nl,)
         rect = sprep.rect
-        rw = jnp.maximum(rect.x_max - rect.x_min, 1)
-        ks = jnp.arange(k_max, dtype=jnp.int32)[None, :]
-        ry = ks // rw[:, None]
-        rx = ks - ry * rw[:, None]
-        tile = (rect.y_min[:, None] + ry) * grid_w + (rect.x_min[:, None] + rx)
-        valid = (ks < tiles_capped[:, None]) & (tile >= 0) & (tile < num_tiles)
-        dest = tile // tpd
-        ltile = tile - dest * tpd
+        rw_safe = jnp.maximum(rect.x_max - rect.x_min, 1)
+        gi, k, _offsets, total = binning_ops.expand_intersections(
+            sprep.tiles_touched, c_exp
+        )
+        valid = jnp.arange(c_exp, dtype=jnp.int32) < total
+        ovf_expand = jnp.maximum(total - c_exp, 0)
+        ry = k // rw_safe[gi]
+        rx = k - ry * rw_safe[gi]
+        y = rect.y_min[gi] + ry
+        x = rect.x_min[gi] + rx
+        dest = y // rpd
+        ltile = (y - dest * rpd) * grid_w + x
         key = jnp.where(
             valid,
-            (((dest << ltile_bits) | ltile) << depth_bits)
-            | depth_q[:, None],
+            (((dest << ltile_bits) | ltile) << depth_bits) | depth_q[gi],
             imax,
-        ).reshape(-1)
-        slot = jnp.arange(nl * k_max, dtype=jnp.int32)
-        total = jnp.sum(valid, dtype=jnp.int32)
+        )
 
         # --- 3. group by destination: one sort + fixed-buffer gather -------
+        slot = jnp.arange(c_exp, dtype=jnp.int32)
         skey, sslot = jax.lax.sort((key, slot), num_keys=1, is_stable=True)
         sdest = jnp.minimum(skey >> (ltile_bits + depth_bits), n_dev)
         dest_starts = jnp.searchsorted(
@@ -315,8 +326,8 @@ def render_primitive_sharded(
         idx_c = jnp.minimum(idx, skey.shape[0] - 1)
         lkey_mask = (1 << (ltile_bits + depth_bits)) - 1
         send_key = jnp.where(ok, skey[idx_c] & lkey_mask, imax)
-        src_slot = sslot[idx_c]  # flat (n, k) slot on THIS device
-        send_gid = jnp.where(ok, d * nl + src_slot // k_max, -1)
+        src_gauss = gi[sslot[idx_c]]  # local gaussian per send row
+        send_gid = jnp.where(ok, d * nl + src_gauss, -1)
 
         feat_n = jnp.concatenate(
             [
@@ -328,7 +339,7 @@ def render_primitive_sharded(
             axis=1,
         )  # (nl, 9) — differentiable
         send_feat = (
-            feat_n[src_slot // k_max]
+            feat_n[src_gauss]
             * ok.astype(jnp.float32)[:, :, None]
         )  # (D, Cs, 9)
 
@@ -358,14 +369,14 @@ def render_primitive_sharded(
         ).astype(jnp.int32)
         s_feat = _permute_rows(recv_feat, perm, inv_perm)  # (Cr, 9)
         live = (sorted_key != imax).astype(jnp.float32)
-        tile_lo = d * tpd
+        row_lo = d * rpd
 
         if backend == "pallas":
             feat_packed = pack_sorted_features(
                 s_feat * live[:, None], sorted_ltile
             )
             tile_map = jnp.stack(
-                [tile_lo.astype(jnp.int32), jnp.int32(1)]
+                [row_lo.astype(jnp.int32), jnp.int32(1)]
             )
             rgb, ft, nc = _blend(
                 feat_packed, tile_starts, tile_map, grid_h, grid_w,
@@ -378,14 +389,14 @@ def render_primitive_sharded(
             rgb, ft, nc, ovf_tile = blend_sorted_xla(
                 s_feat[:, 0:2], s_feat[:, 2:5], s_feat[:, 6:9],
                 s_feat[:, 5] * live, tile_starts, grid_h, grid_w,
-                render_cfg, num_local_tiles=tpd, tile_offset=tile_lo,
+                render_cfg, num_local_rows=rpd, row0=row_lo,
             )
 
         stats = jnp.stack(
             [
                 jnp.minimum(total, c_recv),
                 ovf_send.astype(jnp.int32),
-                jnp.sum(sprep.tiles_touched - tiles_capped).astype(jnp.int32),
+                ovf_expand.astype(jnp.int32),
                 ovf_tile.astype(jnp.int32),
             ]
         )[None]
@@ -400,9 +411,15 @@ def render_primitive_sharded(
         check_rep=False,
     )(gaussians)
 
-    tiles_rgb = tiles_rgb[:num_tiles]
-    final_t = final_t[:num_tiles]
-    n_contrib = n_contrib[:num_tiles]
+    perm = _tile_perm(grid_h, grid_w, n_dev, rpd, interleave=False)
+    if perm is None:
+        tiles_rgb = tiles_rgb[:num_tiles]
+        final_t = final_t[:num_tiles]
+        n_contrib = n_contrib[:num_tiles]
+    else:
+        tiles_rgb = tiles_rgb[perm]
+        final_t = final_t[perm]
+        n_contrib = n_contrib[perm]
 
     image = untile(tiles_rgb, grid_h, grid_w, render_cfg,
                    camera.height, camera.width)
@@ -413,8 +430,8 @@ def render_primitive_sharded(
     agg = jnp.sum(stats, axis=0)
     out_stats = {
         "num_intersections": agg[0],
-        "overflow_capacity": agg[1],  # send-buffer drops (counted)
-        "overflow_tile_cap": agg[2],
+        "overflow_send": agg[1],      # send-buffer drops (counted)
+        "overflow_capacity": agg[2],  # expansion-capacity drops (counted)
         "overflow_per_tile": agg[3],
     }
     return RenderOutput(
@@ -473,15 +490,15 @@ def make_sharded_train_step(
     n_tile = mesh.shape[TILE_AXIS]
     grid_h, grid_w = render_cfg.grid_shape(height, width)
     num_tiles = grid_h * grid_w
-    tpd = _tiles_per_device(num_tiles, n_tile)
-    tile_stride = n_tile if interleave else 1
-    perm = _tile_perm(num_tiles, n_tile, tpd, interleave)
+    rpd = _rows_per_device(grid_h, n_tile)
+    row_stride = n_tile if interleave else 1
+    perm = _tile_perm(grid_h, grid_w, n_tile, rpd, interleave)
 
     def shard_fn(params, mask, cams_local, tgts_local):
         # cams_local: pytree with leading dim cameras_per_device (this data
         # shard's cameras); replicated across the tile axis.
         d_tile = jax.lax.axis_index(TILE_AXIS)
-        tile_lo = d_tile if interleave else d_tile * tpd
+        row0 = d_tile if interleave else d_tile * rpd
         scene = merge_params(params, mask)
         act = scene.activated()
         local_capacity = render_cfg.capacity(
@@ -493,12 +510,12 @@ def make_sharded_train_step(
             prep = preprocess(act, cam, render_cfg)
             binning = binning_ops.build_binning(
                 jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg,
-                local_capacity, num_local_tiles=tpd, tile_lo=tile_lo,
-                tile_stride=tile_stride,
+                local_capacity, num_local_rows=rpd, row0=row0,
+                row_stride=row_stride,
             )
             tiles_rgb, _ft, _nc, _ovf = _blend_local(
-                prep, binning, grid_h, grid_w, render_cfg, tpd, tile_lo,
-                tile_stride, backend,
+                prep, binning, grid_h, grid_w, render_cfg, rpd, row0,
+                row_stride, backend,
             )
             # Assemble the full image: all_gather over the tile axis; its
             # transpose (backward) is a reduce-scatter of pixel cotangents.

@@ -72,11 +72,9 @@ OC_R, OC_G, OC_B = F_R, F_G, F_B  # rgb columns land where the matmul puts them
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _pixel_coords(t, grid_w: int, tile_h: int, tile_w: int):
-    """Absolute pixel centers of tile t as (P, 1) f32 columns."""
+def _pixel_coords(ty, tx, tile_h: int, tile_w: int):
+    """Absolute pixel centers of tile (row ty, col tx) as (P, 1) f32 cols."""
     p = tile_h * tile_w
-    ty = t // grid_w
-    tx = t - ty * grid_w
     pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     prow = pidx // tile_w
     pcol = pidx - prow * tile_w
@@ -140,10 +138,11 @@ def _forward_kernel(
     chunk0 = start // CHUNK
     nchunks = jnp.where(end > start, (end + CHUNK - 1) // CHUNK - chunk0, 0)
     p = tile_h * tile_w
-    # Tile-sharded path: local tile t renders GLOBAL tile lo + t*stride
-    # (stride = #devices when ownership is interleaved for load balance).
+    # Tile-sharded path: local tile t renders the GLOBAL tile at row
+    # row0 + local_row*stride (stride = #devices when row ownership is
+    # interleaved for load balance), same column.
     px, py = _pixel_coords(
-        tmap_ref[0] + t * tmap_ref[1], grid_w, tile_h, tile_w
+        tmap_ref[0] + (t // grid_w) * tmap_ref[1], t % grid_w, tile_h, tile_w
     )
     t_f32 = t.astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -227,9 +226,9 @@ def blend_forward(
 ) -> jax.Array:
     """Returns (T, P, 16): cols 6:9 rgb, col 0 final_T, col 1 n_contrib.
 
-    `num_tiles`/`tile_map` support the tile-sharded path: blend
-    `num_tiles` LOCAL tiles whose global ids (for pixel coordinates) are
-    tile_map[0] + local_id * tile_map[1]."""
+    `num_tiles`/`tile_map` support the tile-sharded path: blend `num_tiles`
+    LOCAL tiles whose global tile ROW (for pixel coordinates) is
+    tile_map[0] + local_row * tile_map[1], same column."""
     if num_tiles is None:
         num_tiles = grid_h * grid_w
     if tile_map is None:
@@ -288,7 +287,7 @@ def _backward_kernel(
     shared_first = start % CHUNK != 0
     p = tile_h * tile_w
     px, py = _pixel_coords(
-        tmap_ref[0] + t * tmap_ref[1], grid_w, tile_h, tile_w
+        tmap_ref[0] + (t // grid_w) * tmap_ref[1], t % grid_w, tile_h, tile_w
     )
     t_f32 = t.astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)

@@ -46,29 +46,40 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gather_sorted(feat_n, sorted_gauss, inv_pos, k_max):
+def _gather_sorted(feat_n, sorted_gauss, sorted_slot, k_max):
     """feat_n (N, F) -> (C, F) rows in sorted intersection order.
 
-    Forward is a row gather; the hand-written VJP routes per-intersection
-    cotangents back to (n, k) slots through the binning's inverse permutation
-    — a second GATHER plus a K-axis sum, replacing the scatter-add XLA
-    autodiff would emit (TPU scatters serialize; VERDICT r1 weak #1)."""
+    Forward is a row gather; the hand-written VJP inverts the binning's sort
+    permutation (a structure sort run LAZILY, only when differentiating —
+    pure forward rendering never pays for it) and routes per-intersection
+    cotangents back to (n, k) slots with a second GATHER plus a K-axis sum,
+    replacing the scatter-add XLA autodiff would emit (TPU scatters
+    serialize; VERDICT r1 weak #1)."""
     gidx = jnp.maximum(sorted_gauss, 0)
     live = (sorted_gauss >= 0).astype(jnp.float32)[:, None]
     return feat_n[gidx] * live  # dead slots inert (opacity 0)
 
 
-def _gather_sorted_fwd(feat_n, sorted_gauss, inv_pos, k_max):
-    out = _gather_sorted(feat_n, sorted_gauss, inv_pos, k_max)
-    return out, (inv_pos, feat_n.shape[0], sorted_gauss.shape[0])
+def _gather_sorted_fwd(feat_n, sorted_gauss, sorted_slot, k_max):
+    out = _gather_sorted(feat_n, sorted_gauss, sorted_slot, k_max)
+    return out, (sorted_slot, feat_n.shape[0], sorted_gauss.shape[0])
 
 
 def _gather_sorted_bwd(k_max, res, dfeat):
-    inv_pos, n, capacity = res
+    sorted_slot, n, capacity = res
     f = dfeat.shape[1]
-    # Dropped slots (pos >= capacity) read the appended zero row. Dead slots
-    # within capacity (sentinel tail) carry exactly-zero cotangents: the
-    # blend backward masks foreign/sentinel lanes and zero-fills dead chunks.
+    # Invert the (full-length) sort permutation: sorted position of every
+    # (n, k) slot. Slots dropped by the capacity truncation land at
+    # positions >= capacity and read the appended zero row; padded sentinel
+    # slots (value n*k_max) sort past every real slot and fall off the
+    # [:n*k_max] trim. Dead slots within capacity carry exactly-zero
+    # cotangents: the blend backward masks foreign/sentinel lanes and
+    # zero-fills dead chunks.
+    pos = jnp.arange(sorted_slot.shape[0], dtype=jnp.int32)
+    _, inv_pos = jax.lax.sort(
+        (sorted_slot, pos), dimension=0, num_keys=1, is_stable=True
+    )
+    inv_pos = inv_pos[: n * k_max]
     dpad = jnp.concatenate([dfeat, jnp.zeros((1, f), dfeat.dtype)], axis=0)
     idx = jnp.minimum(inv_pos, capacity)
     d_n = jnp.sum(dpad[idx].reshape(n, k_max, f), axis=1)
@@ -84,7 +95,6 @@ def pack_features(prep, binning: binning_ops.Binning,
     chunks: (C/128 * 16, 128), chunk k = rows [16k, 16k+16), row f = feature
     f of 128 intersections (see pallas_blend module docstring). Row 9 carries
     the owning tile id (f32-exact; integer structure, no gradient)."""
-    c = binning.sorted_gauss.shape[0]
     feat_n = jnp.concatenate(
         [
             prep.mean2d,                             # rows 0:2
@@ -95,7 +105,7 @@ def pack_features(prep, binning: binning_ops.Binning,
         axis=1,
     )
     feat = _gather_sorted(
-        feat_n, binning.sorted_gauss, binning.inv_pos, k_max
+        feat_n, binning.sorted_gauss, binning.sorted_slot, k_max
     )  # (C, 9)
     return pack_sorted_features(feat, binning.sorted_tile)
 

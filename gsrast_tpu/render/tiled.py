@@ -45,16 +45,16 @@ def blend_tiles_xla(
     grid_h: int,
     grid_w: int,
     render_cfg: cfg.RenderConfig,
-    num_local_tiles: int | None = None,
-    tile_offset=0,
-    tile_stride: int = 1,
+    num_local_rows: int | None = None,
+    row0=0,
+    row_stride: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Blend all tiles. Returns (tiles_rgb (T, P, 3), final_t (T, P),
     n_contrib (T, P), overflow_per_tile_cap scalar).
 
-    `num_local_tiles`/`tile_offset`/`tile_stride` support the tile-sharded
-    path: this rank blends local tiles [0, num_local_tiles) whose GLOBAL ids
-    (for pixel coordinates) are tile_offset + local_id * tile_stride.
+    `num_local_rows`/`row0`/`row_stride` support the tile-sharded path: this
+    rank blends local tiles [0, num_local_rows * grid_w) whose GLOBAL tile
+    row (for pixel coordinates) is row0 + local_row * row_stride.
     """
     # Per-intersection state in sorted order (gather; transposes to
     # scatter-add in the backward pass automatically).
@@ -65,7 +65,7 @@ def blend_tiles_xla(
     s_opacity = jnp.where(binning.sorted_gauss >= 0, prep.opacity[gidx], 0.0)
     return blend_sorted_xla(
         s_mean2d, s_conic, s_color, s_opacity, binning.tile_starts,
-        grid_h, grid_w, render_cfg, num_local_tiles, tile_offset, tile_stride,
+        grid_h, grid_w, render_cfg, num_local_rows, row0, row_stride,
     )
 
 
@@ -78,15 +78,15 @@ def blend_sorted_xla(
     grid_h: int,
     grid_w: int,
     render_cfg: cfg.RenderConfig,
-    num_local_tiles: int | None = None,
-    tile_offset=0,
-    tile_stride: int = 1,
+    num_local_rows: int | None = None,
+    row0=0,
+    row_stride: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Core of `blend_tiles_xla` over pre-gathered per-intersection features
     (the primitive-sharded path receives features via all_to_all rather than
     gathering them from a local Preprocessed)."""
-    num_tiles = grid_h * grid_w if num_local_tiles is None else num_local_tiles
-    tile_offset = jnp.asarray(tile_offset, jnp.int32)
+    num_tiles = (grid_h if num_local_rows is None else num_local_rows) * grid_w
+    row0 = jnp.asarray(row0, jnp.int32)
     k_tile = render_cfg.max_per_tile
     tile_chunk = render_cfg.tile_chunk
     background = jnp.asarray(render_cfg.background, jnp.float32)
@@ -105,9 +105,9 @@ def blend_sorted_xla(
     def do_chunk(chunk_idx):
         t0 = chunk_idx * tile_chunk
         tids = jnp.minimum(t0 + jnp.arange(tile_chunk), num_tiles - 1)
-        gids = tile_offset + tids * tile_stride  # global id -> pixel coords
-        ty = gids // grid_w
-        tx = gids - ty * grid_w
+        # Local tile -> global tile row/col (row-based ownership).
+        ty = row0 + (tids // grid_w) * row_stride
+        tx = tids % grid_w
         # (TC, P) absolute pixel centers
         pix_x = tx[:, None] * render_cfg.tile_w + px_off[None, :]
         pix_y = ty[:, None] * render_cfg.tile_h + py_off[None, :]

@@ -139,13 +139,21 @@ def load_ply(path_or_bytes, capacity: Optional[int] = None) -> G.GaussianScene:
 def save_ply(scene: G.GaussianScene, path: str) -> None:
     """Write a GaussianScene back to the standard trained-scene .ply layout
     (inverse of load_ply; raw parameters, normals zeroed as trainers do)."""
-    means = np.asarray(scene.means)
-    mask = np.asarray(scene.mask)
+    # ONE batched device->host transfer for the whole pytree: per-array
+    # np.asarray fetches round-trip the axon TPU tunnel individually and
+    # stall for minutes.
+    import jax
+
+    host = jax.device_get(
+        (scene.means, scene.mask, scene.log_scales, scene.quats,
+         scene.opacity_logits, scene.sh)
+    )
+    means, mask, log_scales, quats, opacity, sh = map(np.asarray, host)
     means = means[mask]
-    log_scales = np.asarray(scene.log_scales)[mask]
-    quats = np.asarray(scene.quats)[mask]
-    opacity = np.asarray(scene.opacity_logits)[mask]
-    sh = np.asarray(scene.sh)[mask]
+    log_scales = log_scales[mask]
+    quats = quats[mask]
+    opacity = opacity[mask]
+    sh = sh[mask]
     n, k, _ = sh.shape
     n_rest = (k - 1) * 3
 

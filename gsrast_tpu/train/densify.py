@@ -184,6 +184,15 @@ def densify_and_prune(
     mask = mask.at[dead_parents].set(False, mode="drop")
 
     new = new.replace(mask=mask)
+    # Slots whose parameters were (re)written or freed this step: ONLY these
+    # lose their Adam moments (trainer.surgery_opt_state); every untouched
+    # Gaussian keeps its optimizer state across densify — the standard 3DGS
+    # recipe (r1/r2 fully re-initialized the optimizer, hurting convergence).
+    changed = jnp.zeros((m,), bool)
+    changed = changed.at[jnp.where(clone_ok, dst_c, m)].set(True, mode="drop")
+    changed = changed.at[dst_s.reshape(-1)].set(True, mode="drop")
+    changed = changed.at[dead_parents].set(True, mode="drop")
+    changed = changed | prune
     info = {
         "num_cloned": n_clone,
         "num_split": n_split,
@@ -192,6 +201,7 @@ def densify_and_prune(
             demand - (n_clone + 2 * n_split), 0
         ),
         "num_active": new.num_active(),
+        "changed_slots": changed,
     }
     return new, init_densify_state(m), info
 

@@ -149,6 +149,45 @@ def init_train_state(
     )
 
 
+def _zero_capacity_slots(tree, changed: jax.Array):
+    """Zero every leading-dim-capacity leaf (Adam mu/nu rows) at `changed`
+    slots; scalars (Adam count) and other leaves pass through."""
+    m = changed.shape[0]
+
+    def fix(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == m:
+            sel = changed.reshape((-1,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(sel, jnp.zeros_like(leaf), leaf)
+        return leaf
+
+    return jax.tree.map(fix, tree)
+
+
+def surgery_opt_state(
+    opt_state: optax.OptState,
+    changed: Optional[jax.Array] = None,
+    reset_opacity_moments: bool = False,
+    capacity: int | None = None,
+) -> optax.OptState:
+    """Moment surgery after a structural scene change: zero the Adam moments
+    ONLY of (re)written/freed slots, preserving every untouched Gaussian's
+    optimizer state (the standard 3DGS `replace_tensor_to_optimizer`
+    semantics; r1/r2 re-initialized the whole optimizer instead).
+
+    `reset_opacity_moments` additionally zeroes the opacity parameter's
+    moments for ALL slots — the official recipe's behavior on the periodic
+    opacity reset (every slot's opacity logit was clamped)."""
+    if changed is not None:
+        opt_state = _zero_capacity_slots(opt_state, changed)
+    if reset_opacity_moments:
+        inner = dict(opt_state.inner_states)  # multi_transform partition
+        inner["opacity"] = _zero_capacity_slots(
+            inner["opacity"], jnp.ones((capacity,), bool)
+        )
+        opt_state = opt_state._replace(inner_states=inner)
+    return opt_state
+
+
 def maybe_densify(
     state: TrainState,
     tc: TrainConfig,
@@ -158,13 +197,15 @@ def maybe_densify(
 ) -> Tuple[TrainState, Optional[dict]]:
     """Host-side densify scheduler (called between jitted steps).
 
-    On a structural change the optimizer state is re-initialized (standard
-    3DGS zeroes moments for new Gaussians; a full reset is the simple,
-    correct variant and happens only every `densify_every` steps).
-    """
+    On a structural change the optimizer moments are surgically zeroed for
+    exactly the slots that changed (new clones/children, freed parents,
+    pruned); untouched Gaussians keep their Adam state (`optimizer` is kept
+    as an argument for API stability; the fixed-capacity SoA means the state
+    STRUCTURE never changes, only slot contents)."""
     step = int(state.step)
     info = None
     scene = state.scene
+    opt_state = state.opt_state
     densify_state = state.densify_state
     changed = False
     if (
@@ -179,14 +220,17 @@ def maybe_densify(
             scene_extent=scene_extent,
             max_new=tc.max_new_per_densify,
         )
+        opt_state = surgery_opt_state(opt_state, info["changed_slots"])
         changed = True
     if step > 0 and step % tc.opacity_reset_every == 0:
         scene = densify_mod.reset_opacity(scene)
+        opt_state = surgery_opt_state(
+            opt_state, reset_opacity_moments=True, capacity=scene.capacity
+        )
         changed = True
     if changed:
-        params, _ = split_params(scene)
         return (
-            TrainState(scene, optimizer.init(params), densify_state, state.step),
+            TrainState(scene, opt_state, densify_state, state.step),
             info,
         )
     return state, info

@@ -6,6 +6,10 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # interpret-mode check runs on CPU
 
 import jax
+
+# the axon sitecustomize overrides the env var; force cpu explicitly
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -40,8 +40,6 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--tile-h", type=int, default=16)
     ap.add_argument("--tile-w", type=int, default=16)
-    ap.add_argument("--max-tiles", type=int, default=32,
-                    help="max_tiles_per_gaussian (binning K)")
     ap.add_argument("--cap-factor", type=float, default=8.0)
     args = ap.parse_args()
 
@@ -58,8 +56,7 @@ def main():
     cfg = RenderConfig(backend=backend,
                        intersect_capacity_factor=args.cap_factor,
                        max_per_tile=4096, tile_chunk=8,
-                       tile_h=args.tile_h, tile_w=args.tile_w,
-                       max_tiles_per_gaussian=args.max_tiles)
+                       tile_h=args.tile_h, tile_w=args.tile_w)
 
     scene = random_scene(jax.random.PRNGKey(0), args.n, sh_degree=3,
                          isotropic=False, scale_range=(0.005, 0.02))
@@ -74,7 +71,7 @@ def main():
     num_tiles = grid_h * grid_w
     capacity = cfg.capacity(args.n)
     print(f"tile {args.tile_h}x{args.tile_w}, grid {grid_h}x{grid_w} "
-          f"({num_tiles} tiles), K={args.max_tiles}, cap={capacity}")
+          f"({num_tiles} tiles), cap={capacity}")
 
     f_prep = jax.jit(lambda a: preprocess(a, camera, cfg))
     prep = f_prep(act)
@@ -88,7 +85,7 @@ def main():
           f" ovf={int(binning.overflow_capacity)},"
           f" ovf_k={int(binning.overflow_tile_cap)})")
 
-    f_pack = jax.jit(lambda p, b: pp.pack_features(p, b, args.max_tiles))
+    f_pack = jax.jit(lambda p, b: pp.pack_features(p, b, cfg.max_tiles_per_gaussian))
     feat = f_pack(prep, binning)
     print(f"pack:        "
           f"{timeit(f_pack, prep, binning, iters=args.iters)*1e3:9.2f} ms")

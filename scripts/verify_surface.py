@@ -31,7 +31,7 @@ out = gs.render(scene, cam, cfg)
 print("gaussian mode: image", out.image.shape, "mean", float(out.image.mean()),
       "intersections", int(out.stats["num_intersections"]),
       "overflows", int(out.stats["overflow_capacity"]),
-      int(out.stats["overflow_tile_cap"]))
+      int(out.stats.get("overflow_tile_cap", 0)))
 p1 = image.save_png(out.image, os.path.join(tmp, "gaussians.png"))
 
 pc = render_pointcloud(scene.activated(), cam)

@@ -29,7 +29,6 @@ def small_cfg(**kw):
         tile_w=16,
         max_per_tile=512,
         tile_chunk=8,
-        max_tiles_per_gaussian=64,
         intersect_capacity_factor=16.0,
     )
     base.update(kw)

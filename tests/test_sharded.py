@@ -138,7 +138,7 @@ class TestPrimitiveSharded:
                 a, camera, CFG, mesh, send_capacity=128
             )
         )(act)
-        assert int(out.stats["overflow_capacity"]) > 0
+        assert int(out.stats["overflow_send"]) > 0
 
 
 class TestShardedTrainStep:
