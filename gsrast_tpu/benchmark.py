@@ -32,12 +32,17 @@ def bench_config(backend: str):
 
     return cfg.RenderConfig(
         backend=backend,
-        intersect_capacity_factor=8.0,
+        # Tuned on TPU by sweep (scripts/exp_bench.py, r3): the blend is
+        # VPU-bound proportional to pixels-per-tile x chunk-visits, so the
+        # 8x64 tile beats 8x128 (857 ms vs 963 at 1M/1080p) while keeping
+        # per-gaussian tile counts within K=16 and zero counted overflow
+        # (true totals: 4.55M intersections, max 16 tiles/gaussian —
+        # scripts/scene_stats.py).
+        tile_h=8,
+        tile_w=64,
+        intersect_capacity_factor=5.0,
         max_per_tile=4096,
         tile_chunk=8,
-        # The bench scene's true per-Gaussian tile maximum is 16
-        # (scripts/scene_stats.py); r2 shipped the untuned default here —
-        # a measured 3.5x loss (VERDICT r2: 3507 ms at K=64 vs 1015 at 16).
         max_tiles_per_gaussian=16,
     )
 
