@@ -154,7 +154,7 @@ def stage_table(n: int, width: int, height: int, backend: str,
     def pack_loss(pfl, b):
         p2 = prep._replace(**pfl)
         return jnp.sum(
-            pp.pack_features(p2, b, rcfg.max_tiles_per_gaussian))
+            pp.pack_features(p2, b, rcfg))
 
     out["pack"] = timeit(jax.jit(jax.grad(pack_loss)), pfloats, binning,
                          iters=iters)
@@ -162,7 +162,7 @@ def stage_table(n: int, width: int, height: int, backend: str,
     if backend == "pallas":
         def blend_loss(pfl, b):
             p2 = prep._replace(**pfl)
-            feat = pp.pack_features(p2, b, rcfg.max_tiles_per_gaussian)
+            feat = pp.pack_features(p2, b, rcfg)
             rgb, ft, nc = pp._blend(
                 feat, b.tile_starts, jnp.array([0, 1], jnp.int32),
                 grid_h, grid_w, rcfg.tile_h, rcfg.tile_w, False,

@@ -59,14 +59,15 @@ class RenderConfig:
       tile_h/tile_w: pixel tile shape. Defaults (8, 128) = one f32 vreg on TPU
         (the reference uses 16x16 for 256 CUDA threads, GSCuda.cu:20-21; the
         tile shape is an internal detail, not observable in the output).
-      max_tiles_per_gaussian: static cap K on how many (owned) tiles one
-        Gaussian may be binned into. The binning is an elementwise (N, K)
-        slot grid — the fastest structure on TPU by measurement (see
-        ops/binning.py module docstring) — so K bounds both sort length and
-        backward gather size; size it to the scene's true per-Gaussian tile
-        maximum (`scripts/scene_stats.py` reports it; the 1M/1080p bench
-        scene's max is 16). Overflow is *counted* (no silent caps) in
-        RenderStats.
+      max_tiles_per_gaussian: static cap K2 on how many (owned) tiles one
+        Gaussian may be binned into; size it to the scene's true per-Gaussian
+        tile maximum (`scripts/scene_stats.py` reports it). Overflow is
+        *counted* (no silent caps) in RenderStats.
+      base_tiles_per_gaussian: tier-1 width K1 of the two-tier slot grid
+        (ops/binning.py): every Gaussian gets K1 elementwise slots; only the
+        `heavy_fraction` densest get budgeted tier-2 rows for tiles K1..K2.
+        Keeps sort/routing volume near mean*N instead of K2*N.
+      heavy_fraction: static budget of tier-2 rows as a fraction of N.
       intersect_capacity_factor: static capacity of the (tile|depth) key list,
         as a multiple of N. The reference sizes this buffer exactly via a
         device->host readback of the scanned total (GSCuda.cu:771-784); on TPU
@@ -82,6 +83,8 @@ class RenderConfig:
     tile_h: int = 8
     tile_w: int = 128
     max_tiles_per_gaussian: int = 32
+    base_tiles_per_gaussian: int = 8
+    heavy_fraction: float = 0.125
     intersect_capacity_factor: float = 4.0
     tile_chunk: int = 16
     max_per_tile: int = 1024

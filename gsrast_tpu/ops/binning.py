@@ -62,15 +62,19 @@ from .preprocess import Preprocessed
 class Binning(NamedTuple):
     sorted_tile: jax.Array    # (C,) int32; sentinel = num_local_tiles
     sorted_gauss: jax.Array   # (C,) int32 gaussian index; -1 for dead slots
-    sorted_slot: jax.Array    # (max(N*K, C),) int32 full sort payload: flat
-                              # (n, k) slot per sorted position. The feature
-                              # pack's VJP inverts it lazily; positions >= C
-                              # were dropped by the capacity truncation.
+    sorted_slot: jax.Array    # (max(S, C),) int32 full sort payload: tiered
+                              # slot id per sorted position (see build_binning
+                              # for the numbering). The feature pack's VJP
+                              # routes cotangents back through it; positions
+                              # >= C were dropped by the capacity truncation.
+    heavy_idx: jax.Array      # (H,) int32 gaussians granted a tier-2 row
+                              # (padded with N); (0,) when single-tier
     tile_starts: jax.Array    # (T+1,) int32 half-open ranges per local tile
     num_intersections: jax.Array  # scalar int32 (actually written, <= C)
     overflow_capacity: jax.Array  # scalar int32: intersections dropped (C full)
-    overflow_tile_cap: jax.Array  # scalar int32: owned tiles beyond K dropped
-                                  # (counted, never silent)
+    overflow_tile_cap: jax.Array  # scalar int32: owned tiles dropped by the
+                                  # K cap or the heavy budget (counted,
+                                  # never silent)
 
 
 def owned_row_range(y_min, y_max, row0, row_stride: int, num_rows: int):
@@ -132,10 +136,22 @@ def build_binning(
         row0 = jnp.int32(0)
     row0 = jnp.asarray(row0, jnp.int32)
     num_local_tiles = num_local_rows * grid_w
-    k_max = render_cfg.max_tiles_per_gaussian
+    k2 = render_cfg.max_tiles_per_gaussian
+    k1 = min(render_cfg.base_tiles_per_gaussian, k2)
     n = prep.depth.shape[0]
-    nk = n * k_max
     imax = jnp.iinfo(jnp.int32).max
+    # Tier-2 (heavy) budget: static row count for gaussians touching more
+    # than k1 tiles. Two-tier keeps total slots near mean*N instead of K*N
+    # (most gaussians touch few tiles; the bench scene's mean is ~4.4 at
+    # 8x64 tiles) — the sorts and the VJP's cotangent routing scale with
+    # slot count.
+    if k2 > k1:
+        h_budget = max(
+            128, -(-int(n * render_cfg.heavy_fraction) // 128) * 128
+        )
+        h_budget = min(h_budget, n)
+    else:
+        h_budget = 0
 
     # Key layout: local_tile in the high bits, quantized depth order in the
     # low bits, 31 bits total (positive int32). +1 keeps the all-ones
@@ -155,7 +171,7 @@ def build_binning(
     )
     rho0 = (y0 - row0) // row_stride  # first owned LOCAL row
     counts_full = jnp.where(prep.radius > 0, nrows * rw, 0).astype(jnp.int32)
-    counts = jnp.minimum(counts_full, k_max)
+    counts = jnp.minimum(counts_full, k2)
 
     # Positive-float bitcast is order-preserving (GSCuda.cu:465-471); keep
     # the top `depth_bits` bits. Ordering of depths within ~2^-(depth_bits-9)
@@ -164,36 +180,128 @@ def build_binning(
     dshift = 31 - depth_bits
     depth_q = projection.depth_order_key(prep.depth) >> dshift  # (N,)
 
-    # The (N, K) slot grid, built elementwise (no gathers): slot (i, k) is
-    # the k-th owned tile of gaussian i, walking its owned rows row-major.
-    ks = jnp.arange(k_max, dtype=jnp.int32)[None, :]  # (1, K)
+    # Per-slot tile rejection (exactness-preserving): the rect is a box
+    # around an ellipse, so corner tiles often cannot reach the ALPHA_MIN
+    # blend threshold anywhere. With lam_min the conic's smallest eigenvalue,
+    # alpha <= opacity * exp(-0.5 * lam_min * d^2) for d the distance from
+    # the mean to the tile's closest pixel; when that bound (with a 2%
+    # safety margin on the threshold) is below ALPHA_MIN the slot can be
+    # dropped — every backend's blend would skip all its pixels anyway
+    # (GSCuda.cu:645-649). Applied to the TIER-2 grid only: that is where
+    # the big rects (and so the box-vs-ellipse waste) live, and the tier-1
+    # grid is 8x larger — culling it cost more in elementwise math than the
+    # dropped slots saved downstream (measured r3: +36 ms binning for
+    # -16 ms blend at 1M/1080p).
+    A, B, Cc = prep.conic[..., 0], prep.conic[..., 1], prep.conic[..., 2]
+    lam_min = 0.5 * (A + Cc) - jnp.sqrt(
+        jnp.maximum(0.25 * (A - Cc) ** 2 + B * B, 0.0)
+    )
+    lam_min = jnp.maximum(lam_min, 0.0)
+    # drop iff d^2 * lam_min > 2 ln(opacity / (0.98 * ALPHA_MIN))
+    cull_thresh = 2.0 * jnp.log(
+        jnp.maximum(prep.opacity, 1e-12) / (0.98 * cfg.ALPHA_MIN)
+    )
+    mx = prep.mean2d[..., 0]
+    my = prep.mean2d[..., 1]
+    tile_h_px = render_cfg.tile_h
+    tile_w_px = render_cfg.tile_w
+
+    def slot_keep(gy, gx, idx):
+        """gy/gx: global tile row/col per slot; idx: gaussian per row."""
+        px_lo = gx.astype(jnp.float32) * tile_w_px
+        px_hi = px_lo + (tile_w_px - 1)
+        py_lo = gy.astype(jnp.float32) * tile_h_px
+        py_hi = py_lo + (tile_h_px - 1)
+        mxi = mx[idx][:, None]
+        myi = my[idx][:, None]
+        dx = jnp.maximum(jnp.maximum(px_lo - mxi, mxi - px_hi), 0.0)
+        dy = jnp.maximum(jnp.maximum(py_lo - myi, myi - py_hi), 0.0)
+        d2 = dx * dx + dy * dy
+        return d2 * lam_min[idx][:, None] <= cull_thresh[idx][:, None]
+
+    # Tier 1: the (N, K1) slot grid, built elementwise (no gathers): slot
+    # (i, k) is the k-th owned tile of gaussian i, walking its owned rows
+    # row-major. Slot numbering: tier-1 slot (i, k) = i*K1 + k; tier-2 slot
+    # (h, k) = N*K1 + h*(K2-K1) + (k - K1).
+    ks = jnp.arange(k1, dtype=jnp.int32)[None, :]  # (1, K1)
     ry = ks // rw_safe[:, None]
     rx = ks - ry * rw_safe[:, None]
     local = (rho0[:, None] + ry) * grid_w + rect.x_min[:, None] + rx
-    valid = ks < counts[:, None]  # (N, K)
-
-    key = jnp.where(
-        valid, (local << depth_bits) | depth_q[:, None], imax
+    valid1 = ks < jnp.minimum(counts, k1)[:, None]  # (N, K1)
+    key1 = jnp.where(
+        valid1, (local << depth_bits) | depth_q[:, None], imax
     ).reshape(-1)
-    slot = jnp.arange(nk, dtype=jnp.int32)
-    total = jnp.sum(counts, dtype=jnp.int32)
+    gauss1 = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, k1)
+    ).reshape(-1)
+    nk1 = n * k1
 
-    if nk < capacity:  # static: pad so truncation is a no-op
-        pad = capacity - nk
+    if h_budget > 0:
+        # Tier 2: compact the heavy gaussians (counts > K1) into H rows and
+        # enumerate their tiles K1..K2 from gathered per-row fields (H is
+        # small — the gathers are cheap). Demand beyond the budget is
+        # counted, never silent.
+        kh = k2 - k1
+        heavy = counts > k1
+        order = jnp.argsort(~heavy, stable=True).astype(jnp.int32)
+        n_heavy = jnp.sum(heavy, dtype=jnp.int32)
+        n_sel = jnp.minimum(n_heavy, h_budget)
+        sel_ok = jnp.arange(h_budget, dtype=jnp.int32) < n_sel
+        h_idx = jnp.where(sel_ok, order[:h_budget], n)   # pad with N
+        h_c = jnp.minimum(h_idx, n - 1)
+        counts_h = jnp.where(sel_ok, counts[h_c], 0)
+        ks2 = k1 + jnp.arange(kh, dtype=jnp.int32)[None, :]  # (1, KH)
+        rw_h = rw_safe[h_c]
+        ry2 = ks2 // rw_h[:, None]
+        rx2 = ks2 - ry2 * rw_h[:, None]
+        local2 = (
+            (rho0[h_c][:, None] + ry2) * grid_w
+            + rect.x_min[h_c][:, None] + rx2
+        )
+        valid2 = (ks2 < counts_h[:, None]) & slot_keep(
+            y0[h_c][:, None] + ry2 * row_stride,
+            rect.x_min[h_c][:, None] + rx2, h_c,
+        )
+        key2 = jnp.where(
+            valid2, (local2 << depth_bits) | depth_q[h_c][:, None], imax
+        ).reshape(-1)
+        gauss2 = jnp.broadcast_to(h_c[:, None], (h_budget, kh)).reshape(-1)
+        granted2 = jnp.sum(jnp.maximum(counts_h - k1, 0), dtype=jnp.int32)
+        key = jnp.concatenate([key1, key2])
+        gauss = jnp.concatenate([gauss1, gauss2])
+        ns = nk1 + h_budget * kh
+        total = (jnp.sum(valid1, dtype=jnp.int32)
+                 + jnp.sum(valid2, dtype=jnp.int32))
+        dropped_tiles = jnp.sum(counts_full - counts) + (
+            jnp.sum(jnp.maximum(counts - k1, 0)) - granted2
+        )
+    else:
+        h_idx = jnp.zeros((0,), jnp.int32)
+        key = key1
+        gauss = gauss1
+        ns = nk1
+        total = jnp.sum(valid1, dtype=jnp.int32)
+        dropped_tiles = jnp.sum(counts_full - jnp.minimum(counts, k1))
+
+    slot = jnp.arange(ns, dtype=jnp.int32)
+    if ns < capacity:  # static: pad so truncation is a no-op
+        pad = capacity - ns
         key = jnp.concatenate([key, jnp.full((pad,), imax, jnp.int32)])
-        slot = jnp.concatenate([slot, jnp.full((pad,), nk, jnp.int32)])
+        slot = jnp.concatenate([slot, jnp.full((pad,), ns, jnp.int32)])
+        gauss = jnp.concatenate([gauss, jnp.full((pad,), -1, jnp.int32)])
 
     # Stable single-key sort: payload (slot) ascending breaks ties, so the
     # result is fully deterministic. Sentinel keys sink to the end, so the
     # truncation to capacity keeps every real intersection (when it doesn't,
-    # the drop is counted in overflow_capacity).
-    sorted_key, sorted_slot = jax.lax.sort(
-        (key, slot), dimension=0, num_keys=1, is_stable=True
+    # the drop is counted in overflow_capacity). The gaussian index rides as
+    # a second payload (slot -> gaussian is non-uniform across tiers).
+    sorted_key, sorted_slot, sorted_gauss_raw = jax.lax.sort(
+        (key, slot, gauss), dimension=0, num_keys=1, is_stable=True
     )
 
     sorted_key_c = sorted_key[:capacity]
     is_real = sorted_key_c != imax
-    sorted_gauss = jnp.where(is_real, sorted_slot[:capacity] // k_max, -1)
+    sorted_gauss = jnp.where(is_real, sorted_gauss_raw[:capacity], -1)
     sorted_tile = jnp.minimum(
         sorted_key_c >> depth_bits, jnp.int32(num_local_tiles)
     )
@@ -207,8 +315,9 @@ def build_binning(
         sorted_tile=sorted_tile,
         sorted_gauss=sorted_gauss,
         sorted_slot=sorted_slot,
+        heavy_idx=h_idx,
         tile_starts=tile_starts,
         num_intersections=written.astype(jnp.int32),
         overflow_capacity=jnp.maximum(total - capacity, 0).astype(jnp.int32),
-        overflow_tile_cap=jnp.sum(counts_full - counts).astype(jnp.int32),
+        overflow_tile_cap=dropped_tiles.astype(jnp.int32),
     )

@@ -82,6 +82,20 @@ def preprocess(
     degree = min(render_cfg.sh_degree, gaussians.sh_degree)
     color = sh_ops.eval_sh(gaussians.sh, direction, degree)
 
+    # Opacity-aware extent (exactness-preserving): beyond
+    # d = sigma*sqrt(2 ln(opacity/ALPHA_MIN)) every pixel's alpha falls below
+    # the ALPHA_MIN skip that all blend paths apply (GSCuda.cu:645-649), so
+    # for low-opacity splats the reference's fixed 3-sigma rect
+    # (GSCuda.cu:337-341) bins tiles that can never contribute. Shrink the
+    # radius to that provable support (capped at the reference's 3 sigma);
+    # the rendered image is bit-identical because the dropped pixels fail the
+    # alpha test in every backend anyway.
+    op_act = gaussians.opacities
+    shrink = jnp.sqrt(
+        jnp.clip(2.0 * jnp.log(op_act / cfg.ALPHA_MIN), 0.0,
+                 cfg.GAUSSIAN_EXTENT_SIGMA ** 2)
+    ) / cfg.GAUSSIAN_EXTENT_SIGMA
+    radius_f = jnp.ceil(radius_f * shrink)
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
     rect = projection.tile_rect(
         mean2d, radius.astype(jnp.float32), grid_h, grid_w,

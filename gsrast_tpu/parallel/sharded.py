@@ -88,8 +88,7 @@ def _blend_local(prep, binning, grid_h, grid_w, render_cfg, num_local_rows,
     already composited (both backends match blend_tiles_xla semantics)."""
     tpd = num_local_rows * grid_w
     if backend == "pallas":
-        feat_packed = pack_features(
-            prep, binning, render_cfg.max_tiles_per_gaussian)
+        feat_packed = pack_features(prep, binning, render_cfg)
         tile_map = jnp.stack(
             [jnp.asarray(row0, jnp.int32),
              jnp.asarray(row_stride, jnp.int32)]

@@ -45,59 +45,69 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gather_sorted(feat_n, sorted_gauss, sorted_slot, k_max):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gather_sorted(feat_n, sorted_gauss, sorted_slot, heavy_idx, k1, k2):
     """feat_n (N, F) -> (C, F) rows in sorted intersection order.
 
     Forward is a row gather; the hand-written VJP routes per-intersection
-    cotangents back to (n, k) slots by SORTING them (cotangent columns ride
-    one structure sort keyed on the slot payload) and K-summing — measured
-    on TPU v5e at bench scale this is 2.1x faster than inverting the
-    permutation and gathering (209 ms vs 434+59 ms for a 16M-row route;
-    random row gathers run ~37M rows/s against a >100MB table) and 2.1x
-    faster than the scatter-add XLA autodiff would emit (447 ms; VERDICT r1
-    weak #1). Runs only when differentiating — pure forward rendering pays
-    nothing."""
+    cotangents back to the two-tier (n, k) slots by SORTING them (cotangent
+    columns ride one structure sort keyed on the slot payload) and K-summing
+    each tier — measured on TPU v5e at bench scale this is 2.1x faster than
+    inverting the permutation and gathering (209 ms vs 434+59 ms for a
+    16M-row route; random row gathers run ~37M rows/s against a >100MB
+    table) and 2.1x faster than the scatter-add XLA autodiff would emit
+    (447 ms; VERDICT r1 weak #1). Runs only when differentiating — pure
+    forward rendering pays nothing."""
     gidx = jnp.maximum(sorted_gauss, 0)
     live = (sorted_gauss >= 0).astype(jnp.float32)[:, None]
     return feat_n[gidx] * live  # dead slots inert (opacity 0)
 
 
-def _gather_sorted_fwd(feat_n, sorted_gauss, sorted_slot, k_max):
-    out = _gather_sorted(feat_n, sorted_gauss, sorted_slot, k_max)
-    return out, (sorted_slot, feat_n.shape[0], sorted_gauss.shape[0])
+def _gather_sorted_fwd(feat_n, sorted_gauss, sorted_slot, heavy_idx, k1, k2):
+    out = _gather_sorted(feat_n, sorted_gauss, sorted_slot, heavy_idx, k1, k2)
+    return out, (sorted_slot, heavy_idx, feat_n.shape[0],
+                 sorted_gauss.shape[0])
 
 
-def _gather_sorted_bwd(k_max, res, dfeat):
-    sorted_slot, n, capacity = res
+def _gather_sorted_bwd(k1, k2, res, dfeat):
+    sorted_slot, heavy_idx, n, capacity = res
     f = dfeat.shape[1]
-    nk = n * k_max
-    # Sort the cotangent rows by their (n, k) slot id: position s of the
+    h = heavy_idx.shape[0]
+    kh = k2 - k1
+    ns = n * k1 + h * kh
+    # Sort the cotangent rows by their tiered slot id: position s of the
     # result then holds slot s's cotangent, so the per-Gaussian reduction is
-    # a pure reshape + K-sum. Slots dropped by the capacity truncation sit
-    # at sort positions >= capacity and carry the appended zero rows; padded
-    # sentinel slots (value nk) sort past every real slot and fall off the
-    # [:nk] trim. Dead slots within capacity carry exactly-zero cotangents
-    # (the blend backward masks foreign/sentinel lanes and zero-fills dead
-    # chunks).
+    # a reshape + K-sum per tier (tier 2 lands back on its gaussians with
+    # one tiny H-row scatter-add). Slots dropped by the capacity truncation
+    # sit at sort positions >= capacity and carry the appended zero rows;
+    # padded sentinel slots (value ns) sort past every real slot and fall
+    # off the [:ns] trim. Dead slots within capacity carry exactly-zero
+    # cotangents (the blend backward masks foreign/sentinel lanes and
+    # zero-fills dead chunks).
     pad = jnp.zeros((sorted_slot.shape[0] - capacity, f), dfeat.dtype)
     dp = jnp.concatenate([dfeat, pad], axis=0)
     ops = (sorted_slot,) + tuple(dp[:, i] for i in range(f))
     out = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
-    d_slots = jnp.stack(out[1:], axis=-1)[:nk]
-    d_n = jnp.sum(d_slots.reshape(n, k_max, f), axis=1)
-    return d_n, None, None
+    d_slots = jnp.stack(out[1:], axis=-1)[:ns]
+    d_n = jnp.sum(d_slots[: n * k1].reshape(n, k1, f), axis=1)
+    if h > 0:
+        d2 = jnp.sum(d_slots[n * k1:].reshape(h, kh, f), axis=1)
+        # heavy_idx is padded with N: out-of-bounds adds drop.
+        d_n = d_n.at[heavy_idx].add(d2, mode="drop")
+    return d_n, None, None, None
 
 
 _gather_sorted.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
 
 
 def pack_features(prep, binning: binning_ops.Binning,
-                  k_max: int) -> jax.Array:
+                  render_cfg: cfg.RenderConfig) -> jax.Array:
     """Gather per-Gaussian screen state into global depth-sorted TRANSPOSED
     chunks: (C/128 * 16, 128), chunk k = rows [16k, 16k+16), row f = feature
     f of 128 intersections (see pallas_blend module docstring). Row 9 carries
     the owning tile id (f32-exact; integer structure, no gradient)."""
+    k2 = render_cfg.max_tiles_per_gaussian
+    k1 = min(render_cfg.base_tiles_per_gaussian, k2)
     feat_n = jnp.concatenate(
         [
             prep.mean2d,                             # rows 0:2
@@ -108,7 +118,8 @@ def pack_features(prep, binning: binning_ops.Binning,
         axis=1,
     )
     feat = _gather_sorted(
-        feat_n, binning.sorted_gauss, binning.sorted_slot, k_max
+        feat_n, binning.sorted_gauss, binning.sorted_slot, binning.heavy_idx,
+        k1, k2,
     )  # (C, 9)
     return pack_sorted_features(feat, binning.sorted_tile)
 
@@ -207,9 +218,7 @@ def render_tiled_pallas(
     binning = binning_ops.build_binning(
         jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg, capacity
     )
-    feat_packed = pack_features(
-        prep, binning, render_cfg.max_tiles_per_gaussian
-    )
+    feat_packed = pack_features(prep, binning, render_cfg)
     rgb_tiles, ft_tiles, nc_tiles = _blend(
         feat_packed, binning.tile_starts, jnp.array([0, 1], jnp.int32),
         grid_h, grid_w, tile_h, tile_w, interpret, num_tiles,

@@ -85,7 +85,7 @@ def main():
           f" ovf={int(binning.overflow_capacity)},"
           f" ovf_k={int(binning.overflow_tile_cap)})")
 
-    f_pack = jax.jit(lambda p, b: pp.pack_features(p, b, cfg.max_tiles_per_gaussian))
+    f_pack = jax.jit(lambda p, b: pp.pack_features(p, b, cfg))
     feat = f_pack(prep, binning)
     print(f"pack:        "
           f"{timeit(f_pack, prep, binning, iters=args.iters)*1e3:9.2f} ms")
