@@ -79,7 +79,7 @@ def timeit(fn: Callable, *args, iters: int = 3) -> float:
 
 def run_bench(n: int, width: int, height: int, backend: str,
               fwd_only: bool = False, iters: int = 10, scene=None,
-              camera=None):
+              camera=None, **cfg_overrides):
     """Time the north-star step. Returns (best_ms, mpix_s)."""
     from .render.api import render
     from .scene.gaussians import merge_params, split_params
@@ -87,6 +87,15 @@ def run_bench(n: int, width: int, height: int, backend: str,
     rcfg = bench_config(backend)
     if scene is None:
         scene, camera = bench_scene_camera(n, width, height)
+    else:
+        # Trained scenes carry radius skew the random bench scene lacks:
+        # give the heavy tier room and count (never hide) what remains.
+        cfg_overrides.setdefault("max_tiles_per_gaussian", 512)
+        cfg_overrides.setdefault("heavy_fraction", 0.5)
+        cfg_overrides.setdefault("intersect_capacity_factor",
+                                 max(64.0, 8e6 / max(n, 1)))
+    if cfg_overrides:
+        rcfg = rcfg.replace(**cfg_overrides)
     params, mask = split_params(scene)
 
     # mask/camera enter as ARGUMENTS, not closure constants: lowering a

@@ -288,6 +288,9 @@ def cmd_bench(argv) -> None:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--scene", default=None,
+                    help="bench a trained .ply instead of the random scene "
+                         "(real scenes carry radius/depth skew)")
     ap.add_argument("--backend", default=None, choices=["pallas", "xla"])
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--no-stages", action="store_true",
@@ -302,17 +305,27 @@ def cmd_bench(argv) -> None:
     backend = args.backend or (
         "pallas" if jax.default_backend() == "tpu" else "xla")
 
-    if not args.no_stages:
+    scene = camera = None
+    if args.scene:
+        from .camera import auto_frame
+
+        scene = _load(args.scene)
+        mn, mx = scene.bbox()
+        camera = auto_frame(mn, mx, args.width, args.height)
+        args.n = scene.capacity
+
+    if not args.no_stages and scene is None:
         stages = benchmark.stage_table(
             args.n, args.width, args.height, backend, iters=args.iters)
         print(benchmark.format_stage_table(stages, args.width, args.height))
 
     best_ms, mpix_s = benchmark.run_bench(
-        args.n, args.width, args.height, backend, iters=args.iters)
+        args.n, args.width, args.height, backend, iters=args.iters,
+        scene=scene, camera=camera)
     print(json.dumps({
         "metric": "mpixels_per_s_per_chip_fwd_bwd",
         "n": args.n, "width": args.width, "height": args.height,
-        "backend": backend, "best_ms": round(best_ms, 2),
+        "scene": args.scene, "backend": backend, "best_ms": round(best_ms, 2),
         "value": round(mpix_s, 3), "unit": "Mpixels/s/chip",
     }))
 
