@@ -56,6 +56,9 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--height", type=int, default=768)
     ap.add_argument("--save-pose", default=None)
+    ap.add_argument("--flythrough", action="store_true",
+                    help="drive the first-person controller (WASD/mouse "
+                         "state machine) instead of the orbit rig")
     args = ap.parse_args()
 
     if os.path.exists(args.scene):
@@ -89,9 +92,40 @@ def main() -> None:
     jitted = jax.jit(lambda view: draw(base.replace(view=view)))
     stats = FrameStats()
     os.makedirs(args.outdir, exist_ok=True)
-    for i in range(args.frames):
-        angle = 2.0 * np.pi * i / max(args.frames, 1)
-        view = orbit_view(center, max(radius, 1e-3), angle)
+
+    if args.flythrough:
+        # Scripted WASD+mouse session through the first-person state machine
+        # (the reference's interactive Window.cpp:110-128 loop, replayed
+        # deterministically): walk forward, strafe, look around, change
+        # speed.
+        from gsrast_tpu.camera import fp_camera, fp_init, fp_look, fp_move, \
+            fp_speed
+
+        st = fp_init(center + np.array([0, 0, -max(radius, 1e-3)]),
+                     yaw=np.pi / 2, speed=radius)
+        script = (
+            [("move", 1.0, 0.0)] * (args.frames // 2)
+            + [("speed", 2.0)]
+            + [("look", 40.0, -10.0), ("move", 0.0, 1.0)]
+        )
+        views = []
+        for op in script:
+            if op[0] == "move":
+                st = fp_move(st, forward=op[1], strafe=op[2], dt=1 / 30)
+            elif op[0] == "look":
+                st = fp_look(st, op[1], op[2])
+            else:
+                st = fp_speed(st, op[1])
+            views.append(fp_camera(st, args.width, args.height).view)
+        views = views[: args.frames]
+    else:
+        views = [
+            orbit_view(center, max(radius, 1e-3),
+                       2.0 * np.pi * i / max(args.frames, 1))
+            for i in range(args.frames)
+        ]
+
+    for i, view in enumerate(views):
         t0 = time.perf_counter()
         img = jax.block_until_ready(jitted(view))
         stats.record(time.perf_counter() - t0,

@@ -20,7 +20,7 @@ GSGaussians.cpp:160-169 flips the GL view matrix's Z row to get these):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -145,6 +145,86 @@ def from_yaw_pitch(eye, yaw, pitch, up=(0.0, -1.0, 0.0)) -> jax.Array:
     )
     eye = jnp.asarray(eye, jnp.float32)
     return look_at(eye, eye + front, up)
+
+
+class FirstPersonState(NamedTuple):
+    """The reference FirstPersonCamera's motion/speed state machine
+    (/root/reference/FirstPersonCamera.cpp:28-100, Window.cpp:110-128) as a
+    pure pytree: WASD motion scaled by speed*dt, mouse-look yaw/pitch deltas
+    with the pitch clamp, speed doubling/halving (GSRastWindow.cpp:66-73 Up/
+    Down keys), and the invert-up flip used because trained GS scenes are
+    Y-down (GSRastWindow.cpp:20)."""
+
+    eye: jax.Array            # (3,) world position
+    yaw: jax.Array            # scalar
+    pitch: jax.Array          # scalar
+    speed: jax.Array          # units/second
+    invert_up: bool = True    # trained GS scenes are Y-down
+
+
+def fp_init(eye, yaw=0.0, pitch=0.0, speed=1.0,
+            invert_up: bool = True) -> FirstPersonState:
+    return FirstPersonState(
+        eye=jnp.asarray(eye, jnp.float32),
+        yaw=jnp.float32(yaw),
+        pitch=jnp.float32(pitch),
+        speed=jnp.float32(speed),
+        invert_up=invert_up,
+    )
+
+
+def _fp_basis(state: FirstPersonState):
+    front = jnp.stack([
+        jnp.cos(state.yaw) * jnp.cos(state.pitch),
+        jnp.sin(state.pitch),
+        jnp.sin(state.yaw) * jnp.cos(state.pitch),
+    ])
+    up = jnp.asarray(
+        (0.0, -1.0, 0.0) if state.invert_up else (0.0, 1.0, 0.0), jnp.float32
+    )
+    right = jnp.cross(front, up)
+    right = right / (jnp.linalg.norm(right) + 1e-12)
+    return front, right, up
+
+
+def fp_move(state: FirstPersonState, forward: float = 0.0,
+            strafe: float = 0.0, dt: float = 1.0 / 60.0) -> FirstPersonState:
+    """WASD step: forward/strafe in {-1, 0, 1} (reference Window.cpp:110-128
+    applies motion = speed * dt along front/right each polled frame)."""
+    front, right, _ = _fp_basis(state)
+    delta = (front * forward + right * strafe) * state.speed * dt
+    return state._replace(eye=state.eye + delta)
+
+
+def fp_look(state: FirstPersonState, dyaw: float, dpitch: float,
+            sensitivity: float = 0.005) -> FirstPersonState:
+    """Mouse-look: yaw/pitch deltas with the +-(pi/2 - eps) pitch clamp
+    (reference FirstPersonCamera.cpp:45-50 applyDelta)."""
+    lim = cfg.PI / 2.0 - 0.05
+    return state._replace(
+        yaw=state.yaw + jnp.float32(dyaw) * sensitivity,
+        pitch=jnp.clip(
+            state.pitch + jnp.float32(dpitch) * sensitivity, -lim, lim
+        ),
+    )
+
+
+def fp_speed(state: FirstPersonState, factor: float) -> FirstPersonState:
+    """Speed x2 / /2 (reference GSRastWindow.cpp:66-73 Up/Down keys)."""
+    return state._replace(speed=state.speed * jnp.float32(factor))
+
+
+def fp_camera(state: FirstPersonState, width: int, height: int,
+              fov_deg: float = cfg.DEFAULT_FOV_DEG) -> Camera:
+    """Rebuild the Camera from the controller state — the reference's
+    per-frame update() (FirstPersonCamera.cpp:28-38)."""
+    up = (0.0, -1.0, 0.0) if state.invert_up else (0.0, 1.0, 0.0)
+    view = from_yaw_pitch(state.eye, state.yaw, state.pitch, up)
+    fov = jnp.float32(fov_deg * cfg.PI / 180.0)
+    aspect = width / height
+    return Camera(
+        view=view, fov_x=fov * aspect, fov_y=fov, width=width, height=height
+    )
 
 
 def auto_frame(bbox_min, bbox_max, width: int, height: int,

@@ -173,6 +173,54 @@ class TestVizModes:
         np.testing.assert_array_equal(np.asarray(c1.view), np.asarray(c2.view))
 
 
+class TestFirstPersonController:
+    """The WASD/mouse-look/speed state machine (reference
+    FirstPersonCamera.cpp:28-100, Window.cpp:110-128)."""
+
+    def test_forward_moves_along_front(self):
+        from gsrast_tpu.camera import fp_camera, fp_init, fp_move
+
+        st = fp_init([0.0, 0.0, 0.0], yaw=0.0, pitch=0.0, speed=2.0)
+        st2 = fp_move(st, forward=1.0, dt=0.5)  # 1 unit along +x (yaw=0)
+        np.testing.assert_allclose(np.asarray(st2.eye), [1.0, 0.0, 0.0],
+                                   atol=1e-6)
+        cam = fp_camera(st2, 64, 48)
+        assert cam.width == 64 and np.isfinite(np.asarray(cam.view)).all()
+
+    def test_strafe_is_perpendicular(self):
+        from gsrast_tpu.camera import fp_init, fp_move
+
+        st = fp_init([0.0, 0.0, 0.0], yaw=0.0, speed=1.0)
+        fwd = np.asarray(fp_move(st, forward=1.0, dt=1.0).eye)
+        side = np.asarray(fp_move(st, strafe=1.0, dt=1.0).eye)
+        assert abs(float(np.dot(fwd, side))) < 1e-5
+
+    def test_pitch_clamped(self):
+        from gsrast_tpu.camera import fp_init, fp_look
+
+        st = fp_init([0.0, 0.0, 0.0])
+        for _ in range(10):
+            st = fp_look(st, 0.0, 1000.0)
+        assert float(st.pitch) <= np.pi / 2 - 0.049
+
+    def test_speed_doubling(self):
+        from gsrast_tpu.camera import fp_init, fp_move, fp_speed
+
+        st = fp_init([0.0, 0.0, 0.0], speed=1.0)
+        st = fp_speed(st, 2.0)
+        assert float(st.speed) == 2.0
+        d = np.linalg.norm(np.asarray(fp_move(st, forward=1.0, dt=1.0).eye))
+        np.testing.assert_allclose(d, 2.0, atol=1e-6)
+
+    def test_invert_up_flips_strafe(self):
+        from gsrast_tpu.camera import fp_init, fp_move
+
+        a = fp_move(fp_init([0, 0, 0], invert_up=True), strafe=1.0, dt=1.0)
+        b = fp_move(fp_init([0, 0, 0], invert_up=False), strafe=1.0, dt=1.0)
+        np.testing.assert_allclose(np.asarray(a.eye), -np.asarray(b.eye),
+                                   atol=1e-6)
+
+
 class TestApps:
     def _run(self, args, cwd=REPO):
         env = dict(os.environ, JAX_PLATFORMS="cpu")
