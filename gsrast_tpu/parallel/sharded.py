@@ -372,7 +372,7 @@ def render_primitive_sharded(
 
         if backend == "pallas":
             feat_packed = pack_sorted_features(
-                s_feat * live[:, None], sorted_ltile
+                (s_feat * live[:, None]).T, sorted_ltile
             )
             tile_map = jnp.stack(
                 [row_lo.astype(jnp.int32), jnp.int32(1)]

@@ -9,12 +9,17 @@ Layout (the round-2 redesign: zero scalar reads, MXU for the reductions):
     tile of P = tile_h * tile_w pixels; every intermediate is a (P, 128) f32
     array: 128 depth-ordered gaussians (one chunk) blended against all P
     pixels by full-width VPU ops.
-  * Features are packed TRANSPOSED and in GLOBAL depth-sorted order: chunk k
-    covers sorted intersections [128k, 128k+128) as a (16, 128) block — row f
-    holds feature f of 128 gaussians:
+  * Features are packed TRANSPOSED as ONE (16, C) lane-major array in GLOBAL
+    depth-sorted order: chunk k is the column window [128k, 128k+128) — row f
+    holds feature f of every intersection:
         rows [mx, my, conic_a, conic_b, conic_c, opacity, r, g, b, tile, 0..].
     A feature vector is a (1, 128) sublane read that broadcasts against the
-    (P, 1) pixel coordinates — no scalar VMEM reads anywhere.
+    (P, 1) pixel coordinates — no scalar VMEM reads anywhere. The layout is
+    built WITHOUT any transpose (r3): per-feature rows are stacked (9, N)
+    from preprocess outputs, gathered along the minor axis, and the backward
+    writes gradients in the same layout, so the VJP's routing sort reads its
+    payload columns as free row slices (the previous chunk-blocked layout
+    spent ~60 ms/step in XLA transposes at 1M/1080p).
   * Tile segments are NOT padded to chunk boundaries (round 2 removed the
     whole re-padding stage): tile t walks chunks floor(start/128) ..
     ceil(end/128); lanes belonging to a neighboring tile in the shared
@@ -149,7 +154,7 @@ def _forward_kernel(
 
     def get_dma(slot, k):
         return pltpu.make_async_copy(
-            feat_ref.at[pl.ds((chunk0 + k) * FROWS, FROWS), :],
+            feat_ref.at[:, pl.ds((chunk0 + k) * CHUNK, CHUNK)],
             buf.at[slot],
             sems.at[slot],
         )
@@ -183,7 +188,8 @@ def _forward_kernel(
         nc = jnp.maximum(
             nc, jnp.max(jnp.where(w > 0.0, idxv, 0.0), axis=1, keepdims=True)
         )
-        t_carry = jnp.min(test_t, axis=1, keepdims=True)
+        # monotone: the lane-min of test_t is just its last lane (no reduce).
+        t_carry = test_t[:, CHUNK - 1 :]
         return t_carry, acc, ft, nc
 
     def chunk_body(k, carry):
@@ -214,7 +220,7 @@ def _forward_kernel(
 
 
 def blend_forward(
-    feat_packed: jax.Array,  # (R, 128) f32: transposed sorted-order features
+    feat_packed: jax.Array,  # (FROWS, C) f32: transposed sorted-order feats
     tile_starts: jax.Array,  # (T+1,) i32 segment bounds (unaligned)
     grid_h: int,
     grid_w: int,
@@ -317,7 +323,7 @@ def _backward_kernel(
 
     def get_read(slot, k):
         return pltpu.make_async_copy(
-            feat_ref.at[pl.ds((chunk0 + k) * FROWS, FROWS), :],
+            feat_ref.at[:, pl.ds((chunk0 + k) * CHUNK, CHUNK)],
             buf.at[slot],
             sems.at[slot],
         )
@@ -325,7 +331,7 @@ def _backward_kernel(
     def get_write(slot, k):
         return pltpu.make_async_copy(
             obuf.at[slot],
-            dfeat_ref.at[pl.ds((chunk0 + k) * FROWS, FROWS), :],
+            dfeat_ref.at[:, pl.ds((chunk0 + k) * CHUNK, CHUNK)],
             osems.at[slot],
         )
 
@@ -374,8 +380,8 @@ def _backward_kernel(
         a_m = jnp.where(applied, alpha, 0.0)
         om = 1.0 - a_m  # >= 1 - ALPHA_MAX = 0.01
         cum = _cumprod_lanes(om)
-        # cum is monotone non-increasing: lane-min == full chunk product.
-        t_start = t_after / jnp.min(cum, axis=1, keepdims=True)
+        # cum is monotone non-increasing: its last lane == full chunk product.
+        t_start = t_after / cum[:, CHUNK - 1 :]
         t_g = t_start * _shift_lanes(cum, 1, 1.0)  # T before gaussian g
         w = a_m * t_g
 
@@ -421,7 +427,7 @@ def _backward_kernel(
         @pl.when((k == 0) & shared_first)
         def _():
             rdma = pltpu.make_async_copy(
-                dfeat_ref.at[pl.ds(chunk0 * FROWS, FROWS), :], rbuf, rsem
+                dfeat_ref.at[:, pl.ds(chunk0 * CHUNK, CHUNK)], rbuf, rsem
             )
             rdma.start()
             rdma.wait()
@@ -439,7 +445,7 @@ def _backward_kernel(
 
 
 def blend_backward(
-    feat_packed: jax.Array,  # (R, 128)
+    feat_packed: jax.Array,  # (FROWS, C)
     tile_starts: jax.Array,  # (T+1,) i32 segment bounds (unaligned)
     aux: jax.Array,  # (T, P, 8): d_rgb | d_ft | saved final_T | saved nc
     grid_h: int,
@@ -455,7 +461,7 @@ def blend_backward(
     if tile_map is None:
         tile_map = jnp.array([0, 1], jnp.int32)
     p = tile_h * tile_w
-    rows = feat_packed.shape[0]
+    cap = feat_packed.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -478,7 +484,7 @@ def blend_backward(
             _backward_kernel, grid_w=grid_w, tile_h=tile_h, tile_w=tile_w
         ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((rows, CHUNK), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((FROWS, cap), jnp.float32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tile_starts, tile_map.astype(jnp.int32), feat_packed, aux)[0]

@@ -46,32 +46,34 @@ def _use_interpret() -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _gather_sorted(feat_n, sorted_gauss, sorted_slot, heavy_idx, k1, k2):
-    """feat_n (N, F) -> (C, F) rows in sorted intersection order.
+def _gather_sorted(feat_nt, sorted_gauss, sorted_slot, heavy_idx, k1, k2):
+    """feat_nt (F, N) lane-major feature rows -> (F, C) columns in sorted
+    intersection order.
 
-    Forward is a row gather; the hand-written VJP routes per-intersection
-    cotangents back to the two-tier (n, k) slots by SORTING them (cotangent
-    columns ride one structure sort keyed on the slot payload) and K-summing
-    each tier — measured on TPU v5e at bench scale this is 2.1x faster than
-    inverting the permutation and gathering (209 ms vs 434+59 ms for a
-    16M-row route; random row gathers run ~37M rows/s against a >100MB
-    table) and 2.1x faster than the scatter-add XLA autodiff would emit
-    (447 ms; VERDICT r1 weak #1). Runs only when differentiating — pure
-    forward rendering pays nothing."""
+    Forward is a minor-axis gather; the hand-written VJP routes
+    per-intersection cotangents back to the two-tier (n, k) slots by SORTING
+    them (cotangent rows ride one structure sort keyed on the slot payload)
+    and K-summing each tier — measured on TPU v5e at bench scale this is
+    2.1x faster than inverting the permutation and gathering (209 ms vs
+    434+59 ms for a 16M-row route; random row gathers run ~37M rows/s
+    against a >100MB table) and 2.1x faster than the scatter-add XLA
+    autodiff would emit (447 ms; VERDICT r1 weak #1). Runs only when
+    differentiating — pure forward rendering pays nothing."""
     gidx = jnp.maximum(sorted_gauss, 0)
-    live = (sorted_gauss >= 0).astype(jnp.float32)[:, None]
-    return feat_n[gidx] * live  # dead slots inert (opacity 0)
+    live = (sorted_gauss >= 0).astype(jnp.float32)[None, :]
+    return feat_nt[:, gidx] * live  # dead slots inert (opacity 0)
 
 
-def _gather_sorted_fwd(feat_n, sorted_gauss, sorted_slot, heavy_idx, k1, k2):
-    out = _gather_sorted(feat_n, sorted_gauss, sorted_slot, heavy_idx, k1, k2)
-    return out, (sorted_slot, heavy_idx, feat_n.shape[0],
+def _gather_sorted_fwd(feat_nt, sorted_gauss, sorted_slot, heavy_idx, k1, k2):
+    out = _gather_sorted(
+        feat_nt, sorted_gauss, sorted_slot, heavy_idx, k1, k2)
+    return out, (sorted_slot, heavy_idx, feat_nt.shape[1],
                  sorted_gauss.shape[0])
 
 
 def _gather_sorted_bwd(k1, k2, res, dfeat):
     sorted_slot, heavy_idx, n, capacity = res
-    f = dfeat.shape[1]
+    f = dfeat.shape[0]
     h = heavy_idx.shape[0]
     kh = k2 - k1
     ns = n * k1 + h * kh
@@ -79,22 +81,23 @@ def _gather_sorted_bwd(k1, k2, res, dfeat):
     # result then holds slot s's cotangent, so the per-Gaussian reduction is
     # a reshape + K-sum per tier (tier 2 lands back on its gaussians with
     # one tiny H-row scatter-add). Slots dropped by the capacity truncation
-    # sit at sort positions >= capacity and carry the appended zero rows;
+    # sit at sort positions >= capacity and carry the appended zero columns;
     # padded sentinel slots (value ns) sort past every real slot and fall
     # off the [:ns] trim. Dead slots within capacity carry exactly-zero
     # cotangents (the blend backward masks foreign/sentinel lanes and
-    # zero-fills dead chunks).
-    pad = jnp.zeros((sorted_slot.shape[0] - capacity, f), dfeat.dtype)
-    dp = jnp.concatenate([dfeat, pad], axis=0)
-    ops = (sorted_slot,) + tuple(dp[:, i] for i in range(f))
+    # zero-fills dead chunks). The (F, C) layout makes the payload rows free
+    # slices — no transpose anywhere.
+    pad = jnp.zeros((f, sorted_slot.shape[0] - capacity), dfeat.dtype)
+    dp = jnp.concatenate([dfeat, pad], axis=1)
+    ops = (sorted_slot,) + tuple(dp[i] for i in range(f))
     out = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
-    d_slots = jnp.stack(out[1:], axis=-1)[:ns]
-    d_n = jnp.sum(d_slots[: n * k1].reshape(n, k1, f), axis=1)
+    d_slots = jnp.stack(out[1:], axis=0)[:, :ns]  # (F, ns)
+    d_nt = jnp.sum(d_slots[:, : n * k1].reshape(f, n, k1), axis=2)
     if h > 0:
-        d2 = jnp.sum(d_slots[n * k1:].reshape(h, kh, f), axis=1)
+        d2 = jnp.sum(d_slots[:, n * k1:].reshape(f, h, kh), axis=2)
         # heavy_idx is padded with N: out-of-bounds adds drop.
-        d_n = d_n.at[heavy_idx].add(d2, mode="drop")
-    return d_n, None, None, None
+        d_nt = d_nt.at[:, heavy_idx].add(d2, mode="drop")
+    return d_nt, None, None, None
 
 
 _gather_sorted.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
@@ -102,43 +105,42 @@ _gather_sorted.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
 
 def pack_features(prep, binning: binning_ops.Binning,
                   render_cfg: cfg.RenderConfig) -> jax.Array:
-    """Gather per-Gaussian screen state into global depth-sorted TRANSPOSED
-    chunks: (C/128 * 16, 128), chunk k = rows [16k, 16k+16), row f = feature
-    f of 128 intersections (see pallas_blend module docstring). Row 9 carries
-    the owning tile id (f32-exact; integer structure, no gradient)."""
+    """Gather per-Gaussian screen state into the kernels' (FROWS, C)
+    lane-major layout, row f = feature f of every sorted intersection (see
+    pallas_blend module docstring). Row 9 carries the owning tile id
+    (f32-exact; integer structure, no gradient). Built transpose-free: rows
+    are stacked from preprocess outputs and gathered along the minor axis."""
     k2 = render_cfg.max_tiles_per_gaussian
     k1 = min(render_cfg.base_tiles_per_gaussian, k2)
-    feat_n = jnp.concatenate(
+    feat_nt = jnp.stack(
         [
-            prep.mean2d,                             # rows 0:2
-            prep.conic,                              # rows 2:5
-            prep.opacity[:, None],                   # row 5
-            prep.color,                              # rows 6:9
+            prep.mean2d[:, 0], prep.mean2d[:, 1],          # rows 0:2
+            prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],  # 2:5
+            prep.opacity,                                  # row 5
+            prep.color[:, 0], prep.color[:, 1], prep.color[:, 2],  # 6:9
         ],
-        axis=1,
-    )
+        axis=0,
+    )  # (9, N)
     feat = _gather_sorted(
-        feat_n, binning.sorted_gauss, binning.sorted_slot, binning.heavy_idx,
+        feat_nt, binning.sorted_gauss, binning.sorted_slot, binning.heavy_idx,
         k1, k2,
-    )  # (C, 9)
+    )  # (9, C)
     return pack_sorted_features(feat, binning.sorted_tile)
 
 
-def pack_sorted_features(feat: jax.Array, sorted_tile: jax.Array) -> jax.Array:
-    """(C, 9) per-intersection rows already in sorted order + (C,) local tile
-    ids -> the kernels' transposed chunk layout (C/128 * 16, 128). Used
-    directly by the primitive-sharded path, where features arrive through the
+def pack_sorted_features(feat_t: jax.Array,
+                         sorted_tile: jax.Array) -> jax.Array:
+    """(9, C) lane-major per-intersection feature rows already in sorted
+    order + (C,) local tile ids -> the kernels' (FROWS, C) layout: append
+    the tile-id row and zero rows (pure concat, no transpose). Used directly
+    by the primitive-sharded path, where features arrive through the
     all_to_all exchange instead of a local per-Gaussian gather."""
-    c = feat.shape[0]
+    c = feat_t.shape[1]
     tile_row = jax.lax.stop_gradient(sorted_tile).astype(jnp.float32)
-    feat = jnp.concatenate(
-        [feat, tile_row[:, None], jnp.zeros((c, pb.FROWS - 10), jnp.float32)],
-        axis=1,
-    )
-    return (
-        feat.reshape(c // pb.CHUNK, pb.CHUNK, pb.FROWS)
-        .transpose(0, 2, 1)
-        .reshape(-1, pb.CHUNK)
+    return jnp.concatenate(
+        [feat_t, tile_row[None, :],
+         jnp.zeros((pb.FROWS - 10, c), jnp.float32)],
+        axis=0,
     )
 
 
@@ -183,12 +185,11 @@ def _blend_bwd(grid_h, grid_w, tile_h, tile_w, interpret, num_tiles_s,
         feat_packed, tile_starts, aux, grid_h, grid_w, tile_h, tile_w,
         interpret, num_tiles=num_tiles_s, tile_map=tile_map,
     )
-    # Chunks past the last real segment are never written by any tile
-    # (uninitialized output memory): zero them. Row r belongs to chunk
-    # r // FROWS.
-    row = jnp.arange(dfeat.shape[0], dtype=jnp.int32)
+    # Chunk columns past the last real segment are never written by any tile
+    # (uninitialized output memory): zero them.
+    col = jnp.arange(dfeat.shape[1], dtype=jnp.int32)
     live_chunks = (tile_starts[-1] + pb.CHUNK - 1) // pb.CHUNK
-    dfeat = jnp.where((row < live_chunks * pb.FROWS)[:, None], dfeat, 0.0)
+    dfeat = jnp.where((col < live_chunks * pb.CHUNK)[None, :], dfeat, 0.0)
     d_starts = np.zeros(tile_starts.shape, jax.dtypes.float0)
     d_map = np.zeros(tile_map.shape, jax.dtypes.float0)
     return dfeat, d_starts, d_map

@@ -55,9 +55,9 @@ def timeit(fn, *args, iters=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
-    ap.add_argument("--n", type=int, default=50_000)
-    ap.add_argument("--width", type=int, default=1024)
-    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--n", type=int, default=20_000)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
