@@ -24,6 +24,20 @@ def _add_common(ap: argparse.ArgumentParser) -> None:
                     help="named pose from the pose store (default: auto-frame)")
     ap.add_argument("--store", default="gsrast_store.json",
                     help="pose-store path (the LMDB analog)")
+    ap.add_argument("--dist", default=None, metavar="COORD:PORT,NPROCS,RANK",
+                    help="multi-host bootstrap (jax.distributed): "
+                         "coordinator address, process count, process id")
+
+
+def _maybe_distributed(args) -> None:
+    """Multi-host pod bootstrap — must run before the first jax backend use
+    (parallel/mesh.py initialize_distributed)."""
+    if not getattr(args, "dist", None):
+        return
+    from .parallel.mesh import initialize_distributed
+
+    coord, nprocs, rank = args.dist.rsplit(",", 2)
+    initialize_distributed(coord, int(nprocs), int(rank))
 
 
 def _load(scene_path: str):
@@ -66,6 +80,7 @@ def cmd_render(argv) -> None:
                     choices=["gaussians", "ellipsoids", "pointcloud"])
     _add_common(ap)
     args = ap.parse_args(argv)
+    _maybe_distributed(args)
 
     import jax
 
@@ -102,6 +117,7 @@ def cmd_info(argv) -> None:
                     help="peek one Gaussian's render state (the CUDA panel)")
     _add_common(ap)
     args = ap.parse_args(argv)
+    _maybe_distributed(args)
 
     from .utils.inspector import camera_report, peek_gaussian, scene_report
 
@@ -126,6 +142,7 @@ def cmd_pose(argv) -> None:
                     help="scene to auto-frame when saving")
     _add_common(ap)
     args = ap.parse_args(argv)
+    _maybe_distributed(args)
 
     from .camera import pose_to_dict
     from .utils.posedb import PoseDB
@@ -165,6 +182,7 @@ def cmd_train(argv) -> None:
                     help="scene capacity (free slots for densification)")
     _add_common(ap)
     args = ap.parse_args(argv)
+    _maybe_distributed(args)
 
     import jax
     import jax.numpy as jnp
@@ -258,6 +276,7 @@ def cmd_make_dataset(argv) -> None:
     ap.add_argument("--views", type=int, default=16)
     _add_common(ap)
     args = ap.parse_args(argv)
+    _maybe_distributed(args)
 
     import jax
 
@@ -296,6 +315,7 @@ def cmd_bench(argv) -> None:
     ap.add_argument("--no-stages", action="store_true",
                     help="skip the per-stage table (headline only)")
     args = ap.parse_args(argv)
+    _maybe_distributed(args)
 
     import jax
 

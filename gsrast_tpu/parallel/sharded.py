@@ -473,8 +473,11 @@ def make_sharded_train_step(
         over the "tiles" axis), then an all_gather over "tiles" assembles the
         full image for the loss (SSIM crosses tile borders, so the loss needs
         the whole image); the all_gather's AD transpose is the reduce-scatter
-        of pixel cotangents — communication overlapped with backward by XLA's
-        latency-hiding scheduler (the north-star overlap requirement);
+        of pixel cotangents. Comm/compute overlap is DELEGATED to XLA's
+        latency-hiding scheduler and has NOT been measured: this environment
+        has one real chip, so no profile can substantiate overlap (the
+        north-star overlap requirement is tracked, not claimed — see
+        BASELINE.md "Scaling");
       * replicated parameters transpose to a psum of gradients over the whole
         mesh (the grad all-reduce).
 

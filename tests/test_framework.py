@@ -240,3 +240,29 @@ class TestApps:
         r = self._run(["apps/fbtest.py", str(tmp_path / "fb.png")])
         assert r.returncode == 0, r.stderr[-2000:]
         assert os.path.exists(tmp_path / "fb.png")
+
+
+class TestDistributedBootstrap:
+    def test_single_process_noop(self):
+        from gsrast_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(None, 1, 0)  # must not raise or init anything
+
+    def test_cli_dist_flag_parses_and_forwards(self, monkeypatch):
+        import gsrast_tpu.parallel.mesh as mesh_mod
+
+        calls = {}
+
+        def fake_init(coordinator_address=None, num_processes=None,
+                      process_id=None):
+            calls.update(addr=coordinator_address, n=num_processes,
+                         pid=process_id)
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        from gsrast_tpu.cli import _maybe_distributed
+
+        class A:
+            dist = "10.0.0.1:1234,4,2"
+
+        _maybe_distributed(A())
+        assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
