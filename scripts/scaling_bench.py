@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/gsrast_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/gsrast_scaling_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
