@@ -92,9 +92,20 @@ def _gather_sorted_bwd(k1, k2, res, dfeat):
     ops = (sorted_slot,) + tuple(dp[i] for i in range(f))
     out = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
     d_slots = jnp.stack(out[1:], axis=0)[:, :ns]  # (F, ns)
-    d_nt = jnp.sum(d_slots[:, : n * k1].reshape(f, n, k1), axis=2)
+
+    def ksum(x, k):
+        # Strided windowed sum along the flat minor axis. A reshape to
+        # (F, n, k) puts k in the minor dim, which the TPU layout pads
+        # 8 -> 128 lanes — a 16x materialized blow-up (OOM at 5M gaussians);
+        # reduce_window keeps the flat lane-major layout.
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, window_dimensions=(1, k),
+            window_strides=(1, k), padding="VALID",
+        )
+
+    d_nt = ksum(d_slots[:, : n * k1], k1)
     if h > 0:
-        d2 = jnp.sum(d_slots[:, n * k1:].reshape(f, h, kh), axis=2)
+        d2 = ksum(d_slots[:, n * k1:], kh)
         # heavy_idx is padded with N: out-of-bounds adds drop.
         d_nt = d_nt.at[:, heavy_idx].add(d2, mode="drop")
     return d_nt, None, None, None
