@@ -98,8 +98,9 @@ def _blend_local(prep, binning, grid_h, grid_w, render_cfg, num_local_rows,
             render_cfg.tile_h, render_cfg.tile_w, _use_interpret(), tpd,
         )
         background = jnp.asarray(render_cfg.background, jnp.float32)
-        rgb = rgb + ft[:, :, None] * background[None, None, :]
-        return rgb, ft, nc, jnp.int32(0)
+        rgb = rgb + ft[:, None, :] * background[None, :, None]
+        # match the XLA branch's (T, P, 3) tile form for reassembly
+        return jnp.moveaxis(rgb, 1, 2), ft, nc, jnp.int32(0)
     tiles_rgb, final_t, n_contrib, ovf = blend_tiles_xla(
         prep, binning, grid_h, grid_w, render_cfg,
         num_local_rows=num_local_rows, row0=row0, row_stride=row_stride,
@@ -382,7 +383,8 @@ def render_primitive_sharded(
                 render_cfg.tile_h, render_cfg.tile_w, _use_interpret(), tpd,
             )
             background = jnp.asarray(render_cfg.background, jnp.float32)
-            rgb = rgb + ft[:, :, None] * background[None, None, :]
+            rgb = rgb + ft[:, None, :] * background[None, :, None]
+            rgb = jnp.moveaxis(rgb, 1, 2)  # (T, P, 3) to match reassembly
             ovf_tile = jnp.int32(0)
         else:
             rgb, ft, nc, ovf_tile = blend_sorted_xla(

@@ -69,10 +69,12 @@ FROWS = 16  # feature rows per chunk (9 used)
 
 # feature row indices within a chunk block
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_TID = range(10)
-# output columns of the (P, 16) per-tile result
+# output ROWS of the (FROWS, P) per-tile result (channel-first: a (T, P, 16)
+# output would pad its minor dim 16 -> 128 lanes in HBM, an 8x allocation
+# blow-up that OOMs 4K; (T, 16, P) tiles perfectly)
 OC_FT = 0   # final transmittance (overwrites the junk w·mx accumulation)
 OC_NC = 1   # n_contrib as f32 (exact below 2^24)
-OC_R, OC_G, OC_B = F_R, F_G, F_B  # rgb columns land where the matmul puts them
+OC_R, OC_G, OC_B = F_R, F_G, F_B  # rgb rows land where the matmul puts them
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -173,9 +175,10 @@ def _forward_kernel(
         t_before = t_carry * _shift_lanes(cum, 1, 1.0)
         include = test_t >= cfg.TRANSMITTANCE_MIN
         w = jnp.where(include, a_eff * t_before, 0.0)
-        # ONE matmul accumulates every feature column; rgb = cols 6:9.
+        # ONE matmul accumulates every feature row; rgb = rows 6:9.
+        # f (FROWS, 128) @ w^T (128, P) -> (FROWS, P): channel-first.
         acc = acc + jax.lax.dot_general(
-            w, jnp.transpose(f, (1, 0)), (((1,), (0,)), ((), ())),
+            f, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HI,
         )
         # test_t is monotone non-increasing along lanes: the lane-min is the
@@ -210,13 +213,18 @@ def _forward_kernel(
 
     init = (
         jnp.ones((p, 1), jnp.float32),  # running T
-        jnp.zeros((p, FROWS), jnp.float32),  # feature-weighted accumulators
+        jnp.zeros((FROWS, p), jnp.float32),  # feature-weighted accumulators
         jnp.ones((p, 1), jnp.float32),  # final_T (frozen at last include)
         jnp.zeros((p, 1), jnp.float32),  # n_contrib
     )
     _, acc, ft, nc = jax.lax.fori_loop(0, nchunks, chunk_body, init)
-    col = jax.lax.broadcasted_iota(jnp.int32, (p, FROWS), 1)
-    out_ref[0] = jnp.where(col == OC_FT, ft, jnp.where(col == OC_NC, nc, acc))
+    # One small (P, 2) -> (2, P) relayout per tile moves ft/nc into rows.
+    ftnc = jnp.transpose(jnp.concatenate([ft, nc], axis=1), (1, 0))
+    row = jax.lax.broadcasted_iota(jnp.int32, (FROWS, p), 0)
+    out_ref[0] = jnp.where(
+        row == OC_FT, ftnc[0:1, :],
+        jnp.where(row == OC_NC, ftnc[1:2, :], acc),
+    )
 
 
 def blend_forward(
@@ -230,7 +238,7 @@ def blend_forward(
     num_tiles: int | None = None,
     tile_map: jax.Array | None = None,
 ) -> jax.Array:
-    """Returns (T, P, 16): cols 6:9 rgb, col 0 final_T, col 1 n_contrib.
+    """Returns (T, FROWS, P): rows 6:9 rgb, row 0 final_T, row 1 n_contrib.
 
     `num_tiles`/`tile_map` support the tile-sharded path: blend `num_tiles`
     LOCAL tiles whose global tile ROW (for pixel coordinates) is
@@ -244,7 +252,7 @@ def blend_forward(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=[pl.BlockSpec((1, p, FROWS), lambda t, s, m: (t, 0, 0))],
+        out_specs=[pl.BlockSpec((1, FROWS, p), lambda t, s, m: (t, 0, 0))],
         scratch_shapes=[
             pltpu.VMEM((2, FROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -255,13 +263,13 @@ def blend_forward(
             _forward_kernel, grid_w=grid_w, tile_h=tile_h, tile_w=tile_w
         ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, p, FROWS), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, FROWS, p), jnp.float32)],
         interpret=interpret,
     )(tile_starts, tile_map.astype(jnp.int32), feat_packed)[0]
 
 
-# aux columns for the backward: one (T, P, 8) block carries everything
-# per-pixel the reverse replay needs.
+# aux ROWS for the backward: one (T, 8, P) channel-first block carries
+# everything per-pixel the reverse replay needs.
 A_DR, A_DG, A_DB, A_DFT, A_FT, A_NC = range(6)
 
 
@@ -298,7 +306,9 @@ def _backward_kernel(
     t_f32 = t.astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-    aux = aux_ref[0]  # (P, 8)
+    # One small (8, P) -> (P, 8) relayout per tile moves the aux rows into
+    # the kernel's pixels-in-sublanes orientation.
+    aux = jnp.transpose(aux_ref[0], (1, 0))  # (P, 8)
     dc_r = aux[:, A_DR : A_DR + 1]
     dc_g = aux[:, A_DG : A_DG + 1]
     dc_b = aux[:, A_DB : A_DB + 1]
@@ -447,7 +457,7 @@ def _backward_kernel(
 def blend_backward(
     feat_packed: jax.Array,  # (FROWS, C)
     tile_starts: jax.Array,  # (T+1,) i32 segment bounds (unaligned)
-    aux: jax.Array,  # (T, P, 8): d_rgb | d_ft | saved final_T | saved nc
+    aux: jax.Array,  # (T, 8, P): d_rgb | d_ft | saved final_T | saved nc
     grid_h: int,
     grid_w: int,
     tile_h: int,
@@ -467,7 +477,7 @@ def blend_backward(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, p, 8), lambda t, s, m: (t, 0, 0)),
+            pl.BlockSpec((1, 8, p), lambda t, s, m: (t, 0, 0)),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         scratch_shapes=[

@@ -38,7 +38,7 @@ from ..ops.preprocess import preprocess
 from ..scene.gaussians import ActivatedGaussians
 from .dense import RenderOutput
 from . import pallas_blend as pb
-from .tiled import untile
+from .tiled import untile, untile_cf
 
 
 def _use_interpret() -> bool:
@@ -162,9 +162,11 @@ def _blend(feat_packed, tile_starts, tile_map, grid_h, grid_w, tile_h,
         feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w, interpret,
         num_tiles=num_tiles, tile_map=tile_map,
     )
-    rgb = out[:, :, pb.OC_R : pb.OC_B + 1]
-    ft = out[:, :, pb.OC_FT]
-    nc = out[:, :, pb.OC_NC].astype(jnp.int32)
+    # Channel-first (T, 3, P): a (T, P, 3) slice would pad its minor dim
+    # 3 -> 128 lanes in HBM (42x allocation; OOMs 4K).
+    rgb = out[:, pb.OC_R : pb.OC_B + 1, :]
+    ft = out[:, pb.OC_FT, :]
+    nc = out[:, pb.OC_NC, :].astype(jnp.int32)
     return rgb, ft, nc
 
 
@@ -184,13 +186,13 @@ def _blend_bwd(grid_h, grid_w, tile_h, tile_w, interpret, num_tiles_s,
     num_tiles, p = ft.shape
     aux = jnp.concatenate(
         [
-            d_rgb,                       # cols 0:3
-            d_ft[:, :, None],            # col 3
-            ft[:, :, None],              # col 4
-            nc.astype(jnp.float32)[:, :, None],  # col 5
-            jnp.zeros((num_tiles, p, 2), jnp.float32),
+            d_rgb,                       # rows 0:3 (T, 3, P)
+            d_ft[:, None, :],            # row 3
+            ft[:, None, :],              # row 4
+            nc.astype(jnp.float32)[:, None, :],  # row 5
+            jnp.zeros((num_tiles, 2, p), jnp.float32),
         ],
-        axis=-1,
+        axis=1,
     )
     dfeat = pb.blend_backward(
         feat_packed, tile_starts, aux, grid_h, grid_w, tile_h, tile_w,
@@ -237,13 +239,15 @@ def render_tiled_pallas(
     )
 
     background = jnp.asarray(render_cfg.background, jnp.float32)
-    image = untile(rgb_tiles, grid_h, grid_w, render_cfg,
-                   camera.height, camera.width)
+    image_cf = untile_cf(rgb_tiles, grid_h, grid_w, render_cfg,
+                         camera.height, camera.width)  # (3, H, W)
     final_t = untile(ft_tiles, grid_h, grid_w, render_cfg,
                      camera.height, camera.width)
     n_contrib = untile(nc_tiles, grid_h, grid_w, render_cfg,
                        camera.height, camera.width)
-    image = image + final_t[..., None] * background
+    image_cf = image_cf + final_t[None, :, :] * background[:, None, None]
+    # User-facing (H, W, 3) only at the API boundary.
+    image = jnp.moveaxis(image_cf, 0, -1)
 
     stats = {
         "num_visible": jnp.sum(prep.radius > 0),

@@ -177,6 +177,21 @@ def untile(tiles: jax.Array, grid_h: int, grid_w: int,
     return img[:height, :width]
 
 
+def untile_cf(tiles: jax.Array, grid_h: int, grid_w: int,
+              render_cfg: cfg.RenderConfig, height: int,
+              width: int) -> jax.Array:
+    """(T, ch, P) channel-first tiles -> (ch, height, width). Channel-first
+    keeps every intermediate lane-major (a (H, W, ch<8) array pads its minor
+    dim to 128 lanes in HBM — 42x for RGB); callers transpose to the
+    user-facing (H, W, ch) only at the API boundary."""
+    th, tw = render_cfg.tile_h, render_cfg.tile_w
+    ch = tiles.shape[1]
+    img = tiles.reshape(grid_h, grid_w, ch, th, tw)
+    img = jnp.transpose(img, (2, 0, 3, 1, 4))  # (ch, gh, th, gw, tw)
+    img = img.reshape(ch, grid_h * th, grid_w * tw)
+    return img[:, :height, :width]
+
+
 def render_tiled_xla(
     gaussians: ActivatedGaussians,
     camera: Camera,

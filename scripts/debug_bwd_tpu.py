@@ -37,18 +37,18 @@ out = jax.jit(
     lambda f, s: pb.blend_forward(f, s, gh, gw, tile_h, tile_w)
 )(packed, tile_starts)
 jax.block_until_ready(out)
-rgb = out[:, :, pb.OC_R:pb.OC_B + 1]
-ft = out[:, :, pb.OC_FT]
-nc = out[:, :, pb.OC_NC]
+rgb = out[:, pb.OC_R:pb.OC_B + 1, :]
+ft = out[:, pb.OC_FT, :]
+nc = out[:, pb.OC_NC, :]
 print("fwd ok", rgb.shape, float(rgb.mean()), float(ft.mean()),
       int(nc.max()))
 
 print("backward...")
 aux = jnp.concatenate(
-    [jnp.ones((T, P, 3), jnp.float32),       # d_rgb
-     jnp.zeros((T, P, 1), jnp.float32),      # d_ft
-     ft[:, :, None], nc[:, :, None],
-     jnp.zeros((T, P, 2), jnp.float32)], axis=-1)
+    [jnp.ones((T, 3, P), jnp.float32),       # d_rgb rows
+     jnp.zeros((T, 1, P), jnp.float32),      # d_ft
+     ft[:, None, :], nc[:, None, :],
+     jnp.zeros((T, 2, P), jnp.float32)], axis=1)
 dfeat = jax.jit(
     lambda f, s, a: pb.blend_backward(f, s, a, gh, gw, tile_h, tile_w)
 )(packed, tile_starts, aux)

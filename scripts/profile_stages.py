@@ -97,13 +97,13 @@ def main():
         out = f_blend(feat, pstarts)
         print(f"blend_fwd:   {timeit(f_blend, feat, pstarts, iters=args.iters)*1e3:9.2f} ms")
 
-        ft = out[:, :, pb.OC_FT]
-        nc = out[:, :, pb.OC_NC]
+        ft = out[:, pb.OC_FT, :]
+        nc = out[:, pb.OC_NC, :]
         aux = jnp.concatenate(
-            [jnp.ones_like(out[:, :, :3]),          # d_rgb
-             jnp.zeros_like(ft)[:, :, None],        # d_ft
-             ft[:, :, None], nc[:, :, None],
-             jnp.zeros(ft.shape + (2,), jnp.float32)], axis=-1)
+            [jnp.ones_like(out[:, :3, :]),          # d_rgb rows
+             jnp.zeros_like(ft)[:, None, :],        # d_ft
+             ft[:, None, :], nc[:, None, :],
+             jnp.zeros((ft.shape[0], 2, ft.shape[1]), jnp.float32)], axis=1)
         f_bwd = jax.jit(lambda f, s, a: pb.blend_backward(
             f, s, a, grid_h, grid_w, args.tile_h, args.tile_w))
         _ = f_bwd(feat, pstarts, aux)
