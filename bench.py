@@ -53,9 +53,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # No published reference numbers exist (BASELINE.md); compare against the
-    # driver target of real-time-class training throughput: we normalize to
-    # 60 Mpixels/s (~30 fwd+bwd steps/s at 1080p) as baseline 1.0.
+    # No published reference numbers exist; the 60 Mpix/s target and its
+    # derivation live in BASELINE.md ("The vs_baseline denominator").
     target = 60.0
     print(json.dumps({
         "metric": "mpixels_per_s_per_chip_fwd_bwd_1080p_1m",

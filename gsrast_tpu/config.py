@@ -83,6 +83,18 @@ class RenderConfig:
     tile_h: int = 8
     tile_w: int = 128
     max_tiles_per_gaussian: int = 32
+    # Multi-tier fused binning (r4): when non-empty, the pallas path uses
+    # ops/binning.plan_tiers + the fused sort-pack instead of the two-tier
+    # grid + separate gather. Entries are (k_j, budget_frac_j), k ascending:
+    # every Gaussian gets slots for its first k_0 tiles; the budget_frac_j * N
+    # Gaussians with the MOST tiles (a prefix of one count-ranked order) also
+    # get slots k_{j-1}..k_j. budget fracs must be non-increasing (nested
+    # prefixes -> no holes in any Gaussian's tile enumeration). The first
+    # entry's frac is ignored (tier 0 covers everyone). Sizes the sort volume
+    # near the TRUE intersection count instead of K*N: lax.sort cost on TPU
+    # is row-count-bound (BASELINE.md), so this is the binning throughput
+    # knob. () = legacy two-tier grid.
+    tiers: Tuple[Tuple[int, float], ...] = ()
     base_tiles_per_gaussian: int = 8
     heavy_fraction: float = 0.125
     intersect_capacity_factor: float = 4.0

@@ -90,9 +90,11 @@ def preprocess(
     # radius to that provable support (capped at the reference's 3 sigma);
     # the rendered image is bit-identical because the dropped pixels fail the
     # alpha test in every backend anyway.
+    # 2% margin on the threshold (same headroom as binning.slot_keep): the
+    # dropped pixels are provably below ALPHA_MIN even under f32 rounding.
     op_act = gaussians.opacities
     shrink = jnp.sqrt(
-        jnp.clip(2.0 * jnp.log(op_act / cfg.ALPHA_MIN), 0.0,
+        jnp.clip(2.0 * jnp.log(op_act / (0.98 * cfg.ALPHA_MIN)), 0.0,
                  cfg.GAUSSIAN_EXTENT_SIGMA ** 2)
     ) / cfg.GAUSSIAN_EXTENT_SIGMA
     radius_f = jnp.ceil(radius_f * shrink)

@@ -130,8 +130,8 @@ def _alpha_terms(f, px, py, t_f32):
 def _forward_kernel(
     starts_ref,  # scalar prefetch: (T+1,) i32 segment bounds (unaligned)
     tmap_ref,  # scalar prefetch: (2,) i32 [tile_lo, tile_stride] — global id
-    feat_ref,  # (R, 128) f32 packed transposed features in HBM
-    out_ref,  # out block (1, P, 16): cols 6:9 rgb, 0 final_T, 1 n_contrib
+    feat_ref,  # (FROWS, C) f32 lane-major packed features in HBM
+    out_ref,  # out block (1, FROWS, P): rows 6:9 rgb, 0 final_T, 1 n_contrib
     buf,  # VMEM (2, FROWS, 128) double buffer
     sems,  # DMA sems (2,)
     *,
@@ -276,9 +276,9 @@ A_DR, A_DG, A_DB, A_DFT, A_FT, A_NC = range(6)
 def _backward_kernel(
     starts_ref,  # scalar prefetch (T+1,) i32 segment bounds (unaligned)
     tmap_ref,  # scalar prefetch (2,) i32 [tile_lo, tile_stride]
-    feat_ref,  # (R, 128) packed transposed features in HBM
-    aux_ref,  # (1, P, 8): d_rgb, d_ft, saved final_T, saved n_contrib
-    dfeat_ref,  # (R, 128) packed per-intersection grads out (HBM)
+    feat_ref,  # (FROWS, C) lane-major packed features in HBM
+    aux_ref,  # (1, 8, P): d_rgb, d_ft, saved final_T, saved n_contrib
+    dfeat_ref,  # (FROWS, C) packed per-intersection grads out (HBM)
     buf,  # VMEM (2, FROWS, 128) read buffer
     obuf,  # VMEM (2, FROWS, 128) write buffer
     rbuf,  # VMEM (FROWS, 128): neighbor's grads for shared-chunk accumulate

@@ -124,8 +124,12 @@ def run_resilient(
                 rc = dataclasses.replace(rc, inject_nan_at_step=None)
 
             loss = metrics.get("loss")
+            # Check the WHOLE state pytree (scene params + optimizer
+            # moments): NaN/Inf confined to quats/scales/sh/opacities or the
+            # Adam moments would otherwise be checkpointed as "good" and
+            # poison the rollback target.
             bad = (loss is not None and not _all_finite(loss)) or (
-                not _all_finite(new_state.scene.means)
+                not _all_finite(new_state)
             )
             if bad:
                 rollbacks += 1
