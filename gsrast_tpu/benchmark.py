@@ -44,6 +44,11 @@ def bench_config(backend: str):
         max_per_tile=4096,
         tile_chunk=8,
         max_tiles_per_gaussian=16,
+        # r4 fused multi-tier binning, sized to the bench scene's measured
+        # count distribution (frac >2/.893, >3/.556, >4/.343, >6/.166,
+        # >8/.061, max 16) with ~6% budget headroom; zero counted overflow.
+        tiers=((2, 1.0), (3, 0.94), (4, 0.59), (6, 0.37), (8, 0.18),
+               (16, 0.065)),
     )
 
 
@@ -64,15 +69,43 @@ def bench_scene_camera(n: int, width: int, height: int, sh: int = 3,
     return scene, camera
 
 
+def _sync(out) -> None:
+    """Force REAL completion. Over the axon TPU tunnel,
+    `jax.block_until_ready` can return early for repeated identical
+    executables (r4: a 64 ms sort 'measured' 0.13 ms); fetching one element
+    of one output is the only dependable sync."""
+    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    jax.device_get(leaf[(0,) * getattr(leaf, "ndim", 0)])
+
+
+def auto_tiers_for(scene, camera, rcfg):
+    """Tier spec from one preprocess pass over (scene, camera): per-Gaussian
+    owned-tile counts -> ops.binning.auto_tiers."""
+    import numpy as np
+
+    from .ops import binning as binning_ops
+    from .ops.preprocess import preprocess
+
+    grid_h, _ = rcfg.grid_shape(camera.height, camera.width)
+    prep = jax.jit(lambda a: preprocess(a, camera, rcfg))(scene.activated())
+    rect = prep.rect
+    rw = jnp.maximum(rect.x_max - rect.x_min, 0)
+    nrows = jnp.maximum(
+        jnp.minimum(rect.y_max, grid_h) - jnp.maximum(rect.y_min, 0), 0)
+    counts = jnp.where(prep.radius > 0, nrows * rw, 0)
+    return binning_ops.auto_tiers(np.asarray(jax.device_get(counts)))
+
+
 def timeit(fn: Callable, *args, iters: int = 3) -> float:
     """Best-of-iters wall ms with a compile warmup."""
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
 
@@ -88,12 +121,17 @@ def run_bench(n: int, width: int, height: int, backend: str,
     if scene is None:
         scene, camera = bench_scene_camera(n, width, height)
     else:
-        # Trained scenes carry radius skew the random bench scene lacks:
-        # give the heavy tier room and count (never hide) what remains.
+        # Trained scenes carry radius/count skew the random bench scene
+        # lacks: derive the tier spec from THIS scene's measured tile-count
+        # distribution (one preprocess pass) instead of hand-picked knobs
+        # (VERDICT r3 weak #4). Legacy-path knobs stay as counted fallbacks.
         cfg_overrides.setdefault("max_tiles_per_gaussian", 512)
         cfg_overrides.setdefault("heavy_fraction", 0.5)
         cfg_overrides.setdefault("intersect_capacity_factor",
                                  max(64.0, 8e6 / max(n, 1)))
+        if "tiers" not in cfg_overrides:
+            cfg_overrides["tiers"] = auto_tiers_for(
+                scene, camera, rcfg.replace(**cfg_overrides))
     if cfg_overrides:
         rcfg = rcfg.replace(**cfg_overrides)
     params, mask = split_params(scene)
@@ -138,9 +176,7 @@ def stage_table(n: int, width: int, height: int, backend: str,
     capacity = rcfg.capacity(n)
 
     prep = jax.jit(lambda a: preprocess(a, camera, rcfg))(act)
-    binning = jax.jit(lambda p: binning_ops.build_binning(
-        p, grid_h, grid_w, rcfg, capacity))(prep)
-    jax.block_until_ready(binning)
+    jax.block_until_ready(prep)
 
     out = {}
     afloats = {k: getattr(act, k)
@@ -153,33 +189,68 @@ def stage_table(n: int, width: int, height: int, backend: str,
 
     out["prep"] = timeit(jax.jit(jax.grad(prep_loss)), afloats, iters=iters)
 
-    binning_fn = jax.jit(lambda p: binning_ops.build_binning(
-        p, grid_h, grid_w, rcfg, capacity))
-    out["binning_fwd"] = timeit(binning_fn, prep, iters=iters)
-
     pfloats = {k: getattr(prep, k)
                for k in ("mean2d", "conic", "color", "opacity")}
 
-    def pack_loss(pfl, b):
-        p2 = prep._replace(**pfl)
-        return jnp.sum(
-            pp.pack_features(p2, b, rcfg))
+    if rcfg.tiers:
+        num_tiles = grid_h * grid_w
+        plan_fn = jax.jit(lambda p: binning_ops.plan_tiers(
+            p, grid_h, grid_w, rcfg))
+        out["binning_fwd"] = timeit(plan_fn, prep, iters=iters)
+        plan = plan_fn(prep)
 
-    out["pack"] = timeit(jax.jit(jax.grad(pack_loss)), pfloats, binning,
-                         iters=iters)
-
-    if backend == "pallas":
-        def blend_loss(pfl, b):
+        def pack_loss(pfl):
             p2 = prep._replace(**pfl)
-            feat = pp.pack_features(p2, b, rcfg)
-            rgb, ft, nc = pp._blend(
-                feat, b.tile_starts, jnp.array([0, 1], jnp.int32),
-                grid_h, grid_w, rcfg.tile_h, rcfg.tile_w, False,
-                grid_h * grid_w)
-            return jnp.sum(rgb) + jnp.sum(ft)
+            fp, _ts = pp.fused_pack(
+                pp.feature_rows(p2), plan.tile_key, plan.depth_key,
+                plan.slot, plan.gauss, plan.order, rcfg.tiers, n, num_tiles)
+            return jnp.sum(fp * fp)
 
-        out["pack_blend"] = timeit(jax.jit(jax.grad(blend_loss)), pfloats,
-                                   binning, iters=iters)
+        out["pack"] = timeit(jax.jit(jax.grad(pack_loss)), pfloats,
+                             iters=iters)
+
+        if backend == "pallas":
+            def blend_loss(pfl):
+                p2 = prep._replace(**pfl)
+                feat, ts = pp.fused_pack(
+                    pp.feature_rows(p2), plan.tile_key, plan.depth_key,
+                    plan.slot, plan.gauss, plan.order, rcfg.tiers, n,
+                    num_tiles)
+                rgb, ft, nc = pp._blend(
+                    feat, ts, jnp.array([0, 1], jnp.int32),
+                    grid_h, grid_w, rcfg.tile_h, rcfg.tile_w, False,
+                    num_tiles)
+                return jnp.sum(rgb) + jnp.sum(ft)
+
+            out["pack_blend"] = timeit(jax.jit(jax.grad(blend_loss)),
+                                       pfloats, iters=iters)
+    else:
+        binning_fn = jax.jit(lambda p: binning_ops.build_binning(
+            p, grid_h, grid_w, rcfg, capacity))
+        out["binning_fwd"] = timeit(binning_fn, prep, iters=iters)
+        binning = binning_fn(prep)
+        jax.block_until_ready(binning)
+
+        def pack_loss(pfl, b):
+            p2 = prep._replace(**pfl)
+            return jnp.sum(
+                pp.pack_features(p2, b, rcfg))
+
+        out["pack"] = timeit(jax.jit(jax.grad(pack_loss)), pfloats, binning,
+                             iters=iters)
+
+        if backend == "pallas":
+            def blend_loss(pfl, b):
+                p2 = prep._replace(**pfl)
+                feat = pp.pack_features(p2, b, rcfg)
+                rgb, ft, nc = pp._blend(
+                    feat, b.tile_starts, jnp.array([0, 1], jnp.int32),
+                    grid_h, grid_w, rcfg.tile_h, rcfg.tile_w, False,
+                    grid_h * grid_w)
+                return jnp.sum(rgb) + jnp.sum(ft)
+
+            out["pack_blend"] = timeit(jax.jit(jax.grad(blend_loss)),
+                                       pfloats, binning, iters=iters)
 
     def loss(floats):
         a = act.replace(**floats)

@@ -112,6 +112,222 @@ def expand_intersections(counts: jax.Array, capacity: int):
     return i, k, offsets.astype(jnp.int32), total.astype(jnp.int32)
 
 
+class TierPlan(NamedTuple):
+    """Integer structure of the multi-tier fused binning (r4).
+
+    Slots are numbered over a COUNT-RANKED gaussian order (`order`), T-MAJOR
+    within each tier: tier j covers tile ordinals k_{j-1}..k_j of the B_j
+    top-ranked gaussians (a PREFIX of the ranking — nested prefixes mean the
+    backward's per-tier reductions are slice-adds, never scatters), and slot
+    (rank r, ordinal t) = off_j + (t - k_{j-1})*B_j + r. T-major keeps every
+    tier grid a (w_j, B_j) array with the LARGE axis in lanes: no minor-dim
+    padding, per-rank fields broadcast along a middle axis for free, and the
+    VJP's per-gaussian reduction is a sublane-axis sum. All arrays are
+    stop-gradient integer structure, like the reference's sort
+    (GSCuda.cu:461-538).
+    """
+
+    tile_key: jax.Array   # (S,) int32 local tile id; num_tiles = dead slot
+    depth_key: jax.Array  # (S,) int32 FULL positive-float depth bits — the
+                          # fused sort uses num_keys=2 (tile, depth), i.e.
+                          # the reference's full-precision 64-bit tile|depth
+                          # ordering (GSCuda.cu:461-474) with no quantized-
+                          # depth ties (r1-r3 packed both into 31 bits)
+    slot: jax.Array    # (S,) int32 tiered slot id (== position: iota)
+    gauss: jax.Array   # (S,) int32 original gaussian index; -1 dead
+    order: jax.Array   # (N,) int32 count-descending gaussian ranking
+    total: jax.Array   # scalar int32: true (post-cull) intersections
+    overflow_tile_cap: jax.Array  # scalar int32 tiles dropped by k_last cap
+                                  # or a tier budget (counted, never silent)
+
+
+def tier_dims(n: int, tiers) -> tuple:
+    """Static per-tier (width w_j, rows B_j, slot offset off_j); B_0 = n.
+    Budgets are lane-rounded, clamped to n and to nesting (non-increasing)."""
+    dims = []
+    off = 0
+    prev_b = n
+    prev_k = 0
+    for j, (k, frac) in enumerate(tiers):
+        assert k > prev_k, f"tier ks must ascend, got {tiers}"
+        if j == 0:
+            b = n
+        else:
+            b = min(n, max(128, -(-int(n * frac) // 128) * 128), prev_b)
+        dims.append((k - prev_k, b, off))
+        off += (k - prev_k) * b
+        prev_b, prev_k = b, k
+    return tuple(dims), off
+
+
+def auto_tiers(counts, margin: float = 1.12, k0_max: int = 4,
+               tier_penalty: float = 0.08):
+    """Derive a near-minimal tier spec from a scene's per-Gaussian tile-count
+    distribution (host-side; counts is a numpy array from one preprocess
+    pass). Minimizes total slot volume S = sum_j w_j * B_j over tier cut
+    points by shortest path on the candidate k grid, with `margin` headroom
+    on every budget so skewed views don't overflow. Replaces the hand-picked
+    per-scene knobs VERDICT r3 flagged (benchmark.py:92-96)."""
+    import numpy as np
+
+    counts = np.asarray(counts)
+    n = max(int(counts.shape[0]), 1)
+    cmax = int(counts.max()) if counts.size else 1
+    cmax = max(cmax, 1)
+    cands = sorted({1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128,
+                    192, 256, 384, 512, 768, 1024, cmax})
+    cands = [c for c in cands if c <= cmax]
+    if cands[-1] != cmax:
+        cands.append(cmax)
+    # frac(count > k) with headroom; budgets never below one lane row.
+    frac = {k: min(1.0, float((counts > k).mean()) * margin + 128.0 / n)
+            for k in [0] + cands}
+    # dp over cut points: dp[i] = min slot volume covering counts <= cands[i]
+    best = {}
+    for i, ci in enumerate(cands):
+        if ci <= k0_max:
+            best[i] = (ci * 1.0, [(ci, 1.0)])  # single tier-0 up to k0_max
+        else:
+            best[i] = (float("inf"), None)
+        for j in range(i):
+            cj = cands[j]
+            if best[j][1] is None:
+                continue
+            # tier_penalty (in slots/gaussian units) charges each extra
+            # tier's fixed cost (grid build, concat, compile) so thin tiers
+            # merge away.
+            cost = best[j][0] + (ci - cj) * frac[cj] + tier_penalty
+            if cost < best[i][0]:
+                best[i] = (cost, best[j][1] + [(ci, frac[cj])])
+    tiers = best[len(cands) - 1][1]
+    # Enforce nesting (non-increasing fracs) — frac is monotone already.
+    return tuple((int(k), round(float(f), 4)) for k, f in tiers)
+
+
+def plan_tiers(
+    prep: Preprocessed,
+    grid_h: int,
+    grid_w: int,
+    render_cfg: cfg.RenderConfig,
+) -> TierPlan:
+    """Multi-tier slot-grid structure for the fused sort-pack path.
+
+    Same job as build_binning's two-tier grid (duplicateWithKeys,
+    GSCuda.cu:422-475) but with len(cfg.tiers) residual tiers over ONE
+    count-descending ranking of the gaussians, sizing the total slot count S
+    near the true intersection count (the sort and the VJP's routing sort are
+    row-count-bound on TPU). Returns only structure — the feature payloads
+    ride the big sort itself (render/pallas_pipeline.fused_pack)."""
+    tiers = render_cfg.tiers
+    assert tiers, "plan_tiers requires cfg.tiers"
+    n = prep.depth.shape[0]
+    num_tiles = grid_h * grid_w
+    k_last = tiers[-1][0]
+
+    rect = prep.rect
+    rw = jnp.maximum(rect.x_max - rect.x_min, 0)
+    rw_safe = jnp.maximum(rw, 1)
+    y0 = jnp.maximum(rect.y_min, 0)
+    nrows = jnp.maximum(jnp.minimum(rect.y_max, grid_h) - y0, 0)
+    counts_full = jnp.where(prep.radius > 0, nrows * rw, 0).astype(jnp.int32)
+    counts = jnp.minimum(counts_full, k_last)
+    # FULL 32-bit positive-float depth bits: the fused sort is num_keys=2
+    # (tile, depth) — the reference's 64-bit key ordering exactly, with no
+    # quantized-depth ties (GSCuda.cu:461-474).
+    depth_q = projection.depth_order_key(prep.depth)
+
+    # slot_keep inputs (tile-vs-ellipse cull, tiers >= 1 only — see
+    # build_binning for the bound and the tier-0 cost measurement).
+    A, B, Cc = prep.conic[..., 0], prep.conic[..., 1], prep.conic[..., 2]
+    lam_min = jnp.maximum(
+        0.5 * (A + Cc)
+        - jnp.sqrt(jnp.maximum(0.25 * (A - Cc) ** 2 + B * B, 0.0)),
+        0.0,
+    )
+    cull_thresh = 2.0 * jnp.log(
+        jnp.maximum(prep.opacity, 1e-12) / (0.98 * cfg.ALPHA_MIN)
+    )
+
+    # ONE count-descending ranking; every structure field rides as payload
+    # (sort cost is row-bound, payloads near-free). Stable -> deterministic.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    (_, order, r_xmin, r_rw, r_y0, r_counts, r_depthq, r_mx, r_my,
+     r_lam, r_thr) = jax.lax.sort(
+        (-counts, idx, rect.x_min, rw_safe, y0, counts, depth_q,
+         prep.mean2d[..., 0], prep.mean2d[..., 1], lam_min, cull_thresh),
+        dimension=0, num_keys=1, is_stable=True,
+    )
+
+    dims, s0 = tier_dims(n, tiers)
+    th_px, tw_px = float(render_cfg.tile_h), float(render_cfg.tile_w)
+    # Exact integer ks // rw via one f32 multiply: (ks + 0.5) / rw is never
+    # an integer and ks < 64, rw <= grid_w, so the f32 rounding error
+    # (~2e-6) can't cross a floor boundary (distance >= 1/(2*grid_w)).
+    # Integer division on the VPU is emulated and was a top cost of the
+    # (B, w) grid build this replaces.
+    r_inv_rw = 1.0 / r_rw.astype(jnp.float32)
+
+    tkeys, gausses = [], []
+    granted_k = jnp.full((n,), tiers[0][0], jnp.int32)
+    rank = jnp.arange(n, dtype=jnp.int32)
+    k_lo = 0
+    for j, ((w_j, b_j, off_j), (k_j, _)) in enumerate(zip(dims, tiers)):
+        # T-major (w_j, B_j): ranks ride the LANE axis.
+        ksf = k_lo + 0.5 + jnp.arange(w_j, dtype=jnp.float32)[:, None]
+        ks = k_lo + jnp.arange(w_j, dtype=jnp.int32)[:, None]  # (w_j, 1)
+        ry = jnp.floor(ksf * r_inv_rw[None, :b_j]).astype(jnp.int32)
+        rx = ks - ry * r_rw[None, :b_j]
+        gy = r_y0[None, :b_j] + ry
+        gx = r_xmin[None, :b_j] + rx
+        local = gy * grid_w + gx
+        valid = ks < r_counts[None, :b_j]
+        if j > 0:
+            px_lo = gx.astype(jnp.float32) * tw_px
+            py_lo = gy.astype(jnp.float32) * th_px
+            mxj = r_mx[None, :b_j]
+            myj = r_my[None, :b_j]
+            dx = jnp.maximum(
+                jnp.maximum(px_lo - mxj, mxj - (px_lo + (tw_px - 1))), 0.0)
+            dy = jnp.maximum(
+                jnp.maximum(py_lo - myj, myj - (py_lo + (th_px - 1))), 0.0)
+            valid &= (dx * dx + dy * dy) * r_lam[None, :b_j] <= (
+                r_thr[None, :b_j])
+            granted_k = jnp.where((rank < b_j) & (r_counts > k_lo),
+                                  k_j, granted_k)
+        tkeys.append(jnp.where(
+            valid, local, num_tiles).reshape(-1))
+        gausses.append(
+            jnp.broadcast_to(order[None, :b_j], (w_j, b_j)).reshape(-1))
+        k_lo = k_j
+
+    tile_key = jnp.concatenate(tkeys)
+    # Depth rides t-major like the features: broadcast per tier.
+    depth_key = jnp.concatenate([
+        jnp.broadcast_to(r_depthq[None, :b_j], (w_j, b_j)).reshape(-1)
+        for (w_j, b_j, _off) in dims
+    ])
+    gauss = jnp.concatenate(gausses)
+    s = -(-s0 // 128) * 128
+    if s > s0:
+        pad = s - s0
+        tile_key = jnp.concatenate(
+            [tile_key, jnp.full((pad,), num_tiles, jnp.int32)])
+        depth_key = jnp.concatenate([depth_key, jnp.zeros((pad,), jnp.int32)])
+        gauss = jnp.concatenate([gauss, jnp.full((pad,), -1, jnp.int32)])
+    slot = jnp.arange(s, dtype=jnp.int32)
+
+    live = tile_key != num_tiles
+    total = jnp.sum(live, dtype=jnp.int32)
+    dropped = jnp.sum(counts_full - counts) + jnp.sum(
+        jnp.maximum(jnp.minimum(r_counts, k_last) - granted_k, 0))
+    return TierPlan(
+        tile_key=tile_key, depth_key=depth_key, slot=slot,
+        gauss=jnp.where(live, gauss, -1),
+        order=order, total=total,
+        overflow_tile_cap=dropped.astype(jnp.int32),
+    )
+
+
 def build_binning(
     prep: Preprocessed,
     grid_h: int,

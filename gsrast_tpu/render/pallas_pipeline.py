@@ -114,6 +114,130 @@ def _gather_sorted_bwd(k1, k2, res, dfeat):
 _gather_sorted.defvjp(_gather_sorted_fwd, _gather_sorted_bwd)
 
 
+def feature_rows(prep) -> jax.Array:
+    """Per-gaussian screen features as (9, N) lane-major rows (the kernels'
+    feature-row order, see pallas_blend rows 0:9)."""
+    return jnp.stack(
+        [
+            prep.mean2d[:, 0], prep.mean2d[:, 1],          # rows 0:2
+            prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],  # 2:5
+            prep.opacity,                                  # row 5
+            prep.color[:, 0], prep.color[:, 1], prep.color[:, 2],  # 6:9
+        ],
+        axis=0,
+    )
+
+
+def _fused_pack_impl(feat_nt, tile_key, depth_key, slot, gauss, order,
+                     tiers, n, num_tiles):
+    del gauss  # structure-only; the oracle runs its own structure sort
+    dims, _ = binning_ops.tier_dims(n, tiers)
+    s = tile_key.shape[0]
+    ranked = feat_nt[:, order]  # (9, N) count-ranked
+    # T-major tier blocks: broadcasting along a NEW MIDDLE axis keeps ranks
+    # in lanes — contiguous row copies, no minor-dim relayout (a rank-major
+    # jnp.repeat along the minor axis cost ~40 ms at 1M/1080p).
+    parts = [
+        jnp.broadcast_to(ranked[:, None, :b_j], (9, w_j, b_j))
+        .reshape(9, w_j * b_j)
+        for (w_j, b_j, _off) in dims
+    ]
+    grid_feat = jnp.concatenate(parts, axis=1)
+    s0 = grid_feat.shape[1]
+    if s > s0:
+        grid_feat = jnp.concatenate(
+            [grid_feat, jnp.zeros((9, s - s0), grid_feat.dtype)], axis=1)
+    # num_keys=2: (tile, FULL 32-bit depth) — the reference's 64-bit
+    # tile|depth ordering exactly (GSCuda.cu:461-474); no quantized ties.
+    ops = (tile_key, depth_key, slot) + tuple(grid_feat[i] for i in range(9))
+    out = jax.lax.sort(ops, dimension=0, num_keys=2, is_stable=True)
+    tile, sslot = out[0], out[2]
+    tile_starts = jnp.searchsorted(
+        tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    feat_packed = jnp.concatenate(
+        [jnp.stack(out[3:], axis=0),
+         jax.lax.stop_gradient(tile).astype(jnp.float32)[None, :],
+         jnp.zeros((pb.FROWS - 10, s), jnp.float32)],
+        axis=0,
+    )
+    return feat_packed, tile_starts, sslot
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_pack(feat_nt, tile_key, depth_key, slot, gauss, order, tiers, n,
+               num_tiles):
+    """Multi-tier fused sort-pack (r4): the 9 feature rows ride the binning
+    sort as payloads, built ELEMENTWISE on the tier grid (a broadcast of the
+    count-ranked per-gaussian rows — no gather anywhere in the forward).
+
+    Replaces build_binning's sort + the separate sorted-order feature gather
+    + relayout. Measured economics on TPU v5e (synced timers, r4): lax.sort
+    cost ~= rows x (base + ~0.9ns/payload-operand) — 3-op 5.74M rows 20 ms
+    vs 12-op 64 ms — while a 5M-row random gather is ~50 ms and its layout
+    fixup ~30 ms. Fusing the pack into the sort's payloads beats
+    gather+relayout AND the multi-tier grid shrinks the row count toward the
+    true intersection count (the dominant factor). The reference does the
+    equivalent with one CUB radix sort over (tile|depth) keys + payload
+    indices (GSCuda.cu:791-797) and gathers features per-pixel inside the
+    blend; a TPU gather at blend time would be catastrophically slow, hence
+    sort-time packing.
+
+    Returns (feat_packed (FROWS, S), tile_starts (T+1,)). `gauss` is unused
+    structure (the oracle runs its own (key, gauss) sort; the hot path never
+    pays for the extra payload). Backward: cotangent rows are routed back to
+    the tier grid by ONE sort keyed on the slot payload (no scatter),
+    reduced per tier by sublane-axis sums (t-major tiers), accumulated
+    across tiers by SLICE adds (tiers are nested prefixes of the ranking),
+    and un-ranked by one more N-row sort."""
+    feat_packed, tile_starts, _sslot = _fused_pack_impl(
+        feat_nt, tile_key, depth_key, slot, gauss, order, tiers, n,
+        num_tiles)
+    return feat_packed, tile_starts
+
+
+def _fused_pack_fwd(feat_nt, tile_key, depth_key, slot, gauss, order, tiers,
+                    n, num_tiles):
+    feat_packed, tile_starts, sslot = _fused_pack_impl(
+        feat_nt, tile_key, depth_key, slot, gauss, order, tiers, n,
+        num_tiles)
+    return (feat_packed, tile_starts), (sslot, order)
+
+
+def _fused_pack_bwd(tiers, n, num_tiles, res, cots):
+    sslot, order = res
+    d_packed, _d_starts = cots
+    dims, _ = binning_ops.tier_dims(n, tiers)
+    # Route cotangents back to tier-grid order by sorting them by slot id
+    # (measured 2.1x over gather-by-inverse-permutation and over
+    # scatter-add on TPU v5e — see _gather_sorted).
+    ops = (sslot,) + tuple(d_packed[i] for i in range(9))
+    routed = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
+    dg = jnp.stack(routed[1:], axis=0)  # (9, S) in slot order
+
+    d_ranked = None
+    for (w_j, b_j, off_j) in dims:
+        # T-major tier: reshape splits the MAJOR axis (free) and the
+        # per-gaussian reduction is a sublane-axis sum — ranks stay in lanes.
+        d_tier = jnp.sum(
+            dg[:, off_j: off_j + b_j * w_j].reshape(9, w_j, b_j), axis=1)
+        if d_ranked is None:
+            d_ranked = d_tier  # tier 0: b_0 == n
+        else:
+            # Nested prefixes: tier j's rows are ranks [0, b_j) — slice add.
+            d_ranked = d_ranked.at[:, :b_j].add(d_tier)
+    # Un-rank: one more N-row sort keyed on the original index payload.
+    ops2 = (order,) + tuple(d_ranked[i] for i in range(9))
+    unranked = jax.lax.sort(ops2, dimension=0, num_keys=1, is_stable=True)
+    d_feat_nt = jnp.stack(unranked[1:], axis=0)
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (d_feat_nt, zi(sslot), zi(sslot), zi(sslot), zi(sslot),
+            zi(order))
+
+
+fused_pack.defvjp(_fused_pack_fwd, _fused_pack_bwd)
+
+
 def pack_features(prep, binning: binning_ops.Binning,
                   render_cfg: cfg.RenderConfig) -> jax.Array:
     """Gather per-Gaussian screen state into the kernels' (FROWS, C)
@@ -123,15 +247,7 @@ def pack_features(prep, binning: binning_ops.Binning,
     are stacked from preprocess outputs and gathered along the minor axis."""
     k2 = render_cfg.max_tiles_per_gaussian
     k1 = min(render_cfg.base_tiles_per_gaussian, k2)
-    feat_nt = jnp.stack(
-        [
-            prep.mean2d[:, 0], prep.mean2d[:, 1],          # rows 0:2
-            prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],  # 2:5
-            prep.opacity,                                  # row 5
-            prep.color[:, 0], prep.color[:, 1], prep.color[:, 2],  # 6:9
-        ],
-        axis=0,
-    )  # (9, N)
+    feat_nt = feature_rows(prep)
     feat = _gather_sorted(
         feat_nt, binning.sorted_gauss, binning.sorted_slot, binning.heavy_idx,
         k1, k2,
@@ -229,12 +345,32 @@ def render_tiled_pallas(
     interpret = _use_interpret()
 
     prep = preprocess(gaussians, camera, render_cfg, mean2d_delta)
-    binning = binning_ops.build_binning(
-        jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg, capacity
-    )
-    feat_packed = pack_features(prep, binning, render_cfg)
+    if render_cfg.tiers:
+        n = gaussians.means.shape[0]
+        plan = binning_ops.plan_tiers(
+            jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg)
+        feat_nt = feature_rows(prep)
+        feat_packed, tile_starts = fused_pack(
+            feat_nt, plan.tile_key, plan.depth_key, plan.slot, plan.gauss,
+            plan.order, render_cfg.tiers, n, num_tiles)
+        bin_stats = {
+            "num_intersections": plan.total,
+            "overflow_capacity": jnp.int32(0),  # no capacity truncation
+            "overflow_tile_cap": plan.overflow_tile_cap,
+        }
+    else:
+        binning = binning_ops.build_binning(
+            jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg, capacity
+        )
+        feat_packed = pack_features(prep, binning, render_cfg)
+        tile_starts = binning.tile_starts
+        bin_stats = {
+            "num_intersections": binning.num_intersections,
+            "overflow_capacity": binning.overflow_capacity,
+            "overflow_tile_cap": binning.overflow_tile_cap,
+        }
     rgb_tiles, ft_tiles, nc_tiles = _blend(
-        feat_packed, binning.tile_starts, jnp.array([0, 1], jnp.int32),
+        feat_packed, tile_starts, jnp.array([0, 1], jnp.int32),
         grid_h, grid_w, tile_h, tile_w, interpret, num_tiles,
     )
 
@@ -251,11 +387,9 @@ def render_tiled_pallas(
 
     stats = {
         "num_visible": jnp.sum(prep.radius > 0),
-        "num_intersections": binning.num_intersections,
-        "overflow_capacity": binning.overflow_capacity,
-        "overflow_tile_cap": binning.overflow_tile_cap,
         "overflow_per_tile": jnp.int32(0),  # pallas path walks true ranges
         "radii": prep.radius,
+        **bin_stats,
     }
     return RenderOutput(
         image=image, final_t=final_t, n_contrib=n_contrib, stats=stats

@@ -202,9 +202,29 @@ def render_tiled_xla(
     capacity = render_cfg.capacity(gaussians.means.shape[0])
 
     prep = preprocess(gaussians, camera, render_cfg, mean2d_delta)
-    binning = binning_ops.build_binning(
-        jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg, capacity
-    )
+    if render_cfg.tiers:
+        # Multi-tier fused structure (r4): the SAME plan the pallas path
+        # consumes, so the two backends stay bit-identical in ordering
+        # semantics (ties broken by the same stable sort of the same keys).
+        plan = binning_ops.plan_tiers(
+            jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg)
+        tile, _sd, sgauss = jax.lax.sort(
+            (plan.tile_key, plan.depth_key, plan.gauss), dimension=0,
+            num_keys=2, is_stable=True)
+        tile_starts = jnp.searchsorted(
+            tile, jnp.arange(grid_h * grid_w + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+        binning = binning_ops.Binning(
+            sorted_tile=tile, sorted_gauss=sgauss, sorted_slot=plan.slot,
+            heavy_idx=jnp.zeros((0,), jnp.int32), tile_starts=tile_starts,
+            num_intersections=plan.total,
+            overflow_capacity=jnp.int32(0),
+            overflow_tile_cap=plan.overflow_tile_cap,
+        )
+    else:
+        binning = binning_ops.build_binning(
+            jax.lax.stop_gradient(prep), grid_h, grid_w, render_cfg, capacity
+        )
     tiles_rgb, final_t, n_contrib, overflow_tile = blend_tiles_xla(
         prep, binning, grid_h, grid_w, render_cfg
     )
