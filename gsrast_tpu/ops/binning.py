@@ -142,15 +142,18 @@ class TierPlan(NamedTuple):
 
 
 def tier_dims(n: int, tiers) -> tuple:
-    """Static per-tier (width w_j, rows B_j, slot offset off_j); B_0 = n.
-    Budgets are lane-rounded, clamped to n and to nesting (non-increasing)."""
+    """Static per-tier (width w_j, rows B_j, slot offset off_j). Budgets are
+    lane-rounded, clamped to n and to nesting (non-increasing). Tier 0 with
+    frac >= 1 covers every gaussian; a budgeted tier 0 (frac < 1, used by the
+    tile-sharded path where most gaussians own no tile on a given device)
+    drops low-ranked gaussians entirely — counted, never silent."""
     dims = []
     off = 0
     prev_b = n
     prev_k = 0
     for j, (k, frac) in enumerate(tiers):
         assert k > prev_k, f"tier ks must ascend, got {tiers}"
-        if j == 0:
+        if j == 0 and frac >= 1.0:
             b = n
         else:
             b = min(n, max(128, -(-int(n * frac) // 128) * 128), prev_b)
@@ -158,6 +161,43 @@ def tier_dims(n: int, tiers) -> tuple:
         off += (k - prev_k) * b
         prev_b, prev_k = b, k
     return tuple(dims), off
+
+
+def shard_tiers(tiers, n_dev: int, headroom: float = 2.0) -> tuple:
+    """Per-device tier spec for tile sharding: with interleaved row ownership
+    each device owns ~1/D of every Gaussian's tile rows, so per-device counts
+    shrink ~D-fold — tier widths divide by D (ceil, with `headroom` on the
+    last tier for row-quantization skew: a 2-row rect on 8 devices still
+    gives 2 devices a full row each) and budget fractions keep their global
+    values (frac_d(count_d > k/D) ~= frac(count > k)). Tier 0 becomes
+    budgeted: at high D most gaussians own NO tile on a given device, so its
+    rows are capped at the frac of gaussians likely to appear here at all.
+    Collapsed tiers (same k after division) merge, keeping the largest frac.
+    Drops are counted by plan_tiers, never silent."""
+    if n_dev <= 1:
+        return tuple(tiers)
+    out = []
+    for i, (k, f) in enumerate(tiers):
+        kd = -(-k // n_dev)
+        if i == len(tiers) - 1:
+            kd = max(kd, min(k, int(-(-k * headroom // n_dev))))
+        if i == 0:
+            # Budget tier 0: ~frac of gaussians owning >= 1 tile here. With
+            # rows-owned ~ nrows/D + Bernoulli remainder, bound by the
+            # global frac of visible gaussians scaled by min(1, 2*nrows/D);
+            # we don't know nrows statically, so use a conservative 0.9.
+            f = 0.9
+        if out and out[-1][0] >= kd:
+            out[-1] = (out[-1][0], max(out[-1][1], f))
+        else:
+            out.append((kd, f))
+    # re-enforce ascending ks and non-increasing fracs
+    fixed = []
+    for k, f in out:
+        if fixed and f > fixed[-1][1] and len(fixed) > 1:
+            f = fixed[-1][1]
+        fixed.append((k, f))
+    return tuple(fixed)
 
 
 def auto_tiers(counts, margin: float = 1.12, k0_max: int = 4,
@@ -209,6 +249,9 @@ def plan_tiers(
     grid_h: int,
     grid_w: int,
     render_cfg: cfg.RenderConfig,
+    num_local_rows: int | None = None,
+    row0=0,
+    row_stride: int = 1,
 ) -> TierPlan:
     """Multi-tier slot-grid structure for the fused sort-pack path.
 
@@ -221,14 +264,20 @@ def plan_tiers(
     tiers = render_cfg.tiers
     assert tiers, "plan_tiers requires cfg.tiers"
     n = prep.depth.shape[0]
-    num_tiles = grid_h * grid_w
+    if num_local_rows is None:
+        num_local_rows = grid_h
+        row0 = 0
+    row0 = jnp.asarray(row0, jnp.int32)
+    num_tiles = num_local_rows * grid_w
     k_last = tiers[-1][0]
 
     rect = prep.rect
     rw = jnp.maximum(rect.x_max - rect.x_min, 0)
     rw_safe = jnp.maximum(rw, 1)
-    y0 = jnp.maximum(rect.y_min, 0)
-    nrows = jnp.maximum(jnp.minimum(rect.y_max, grid_h) - y0, 0)
+    # Owned tile rows only (tile-sharded path: rows {row0 + r*stride}).
+    y0, nrows = owned_row_range(
+        rect.y_min, rect.y_max, row0, row_stride, num_local_rows)
+    rho0 = (y0 - row0) // row_stride  # first owned LOCAL row
     counts_full = jnp.where(prep.radius > 0, nrows * rw, 0).astype(jnp.int32)
     counts = jnp.minimum(counts_full, k_last)
     # FULL 32-bit positive-float depth bits: the fused sort is num_keys=2
@@ -251,9 +300,9 @@ def plan_tiers(
     # ONE count-descending ranking; every structure field rides as payload
     # (sort cost is row-bound, payloads near-free). Stable -> deterministic.
     idx = jnp.arange(n, dtype=jnp.int32)
-    (_, order, r_xmin, r_rw, r_y0, r_counts, r_depthq, r_mx, r_my,
+    (_, order, r_xmin, r_rw, r_rho0, r_counts, r_depthq, r_mx, r_my,
      r_lam, r_thr) = jax.lax.sort(
-        (-counts, idx, rect.x_min, rw_safe, y0, counts, depth_q,
+        (-counts, idx, rect.x_min, rw_safe, rho0, counts, depth_q,
          prep.mean2d[..., 0], prep.mean2d[..., 1], lam_min, cull_thresh),
         dimension=0, num_keys=1, is_stable=True,
     )
@@ -268,8 +317,9 @@ def plan_tiers(
     r_inv_rw = 1.0 / r_rw.astype(jnp.float32)
 
     tkeys, gausses = [], []
-    granted_k = jnp.full((n,), tiers[0][0], jnp.int32)
     rank = jnp.arange(n, dtype=jnp.int32)
+    b0 = dims[0][1]
+    granted_k = jnp.where(rank < b0, jnp.int32(tiers[0][0]), 0)
     k_lo = 0
     for j, ((w_j, b_j, off_j), (k_j, _)) in enumerate(zip(dims, tiers)):
         # T-major (w_j, B_j): ranks ride the LANE axis.
@@ -277,9 +327,10 @@ def plan_tiers(
         ks = k_lo + jnp.arange(w_j, dtype=jnp.int32)[:, None]  # (w_j, 1)
         ry = jnp.floor(ksf * r_inv_rw[None, :b_j]).astype(jnp.int32)
         rx = ks - ry * r_rw[None, :b_j]
-        gy = r_y0[None, :b_j] + ry
+        ly = r_rho0[None, :b_j] + ry                    # local tile row
+        gy = row0 + ly * row_stride                     # global tile row
         gx = r_xmin[None, :b_j] + rx
-        local = gy * grid_w + gx
+        local = ly * grid_w + gx
         valid = ks < r_counts[None, :b_j]
         if j > 0:
             px_lo = gx.astype(jnp.float32) * tw_px

@@ -326,23 +326,14 @@ def _backward_kernel(
     )
     nchunks_live = jnp.minimum(nchunks, nchunks_live)
 
-    # Per-feature gradients as POLYNOMIAL MOMENTS (r4): every feature grad
-    # row is a pixel-sum of dpower (or w) against a per-tile-CONSTANT pixel
-    # polynomial, e.g. d_mx = -ca*(mx*M0 - Mx) - cb*(my*M0 - My) with
-    # Mk = sum_p dpower * px^..., so the nine per-chunk sublane reductions
-    # and their (P, 128) product operands collapse into two small MXU
-    # matmuls against loop-invariant (P, 6) / (P, 3) moment bases. Moments
-    # use TILE-LOCAL pixel coordinates: with absolute 1080p coords the
-    # px^2-scale terms cancel ~3 decimal digits against the dx^2-scale
-    # result; locally both scale with the splat reach, no cancellation.
-    px0 = jnp.min(px)
-    py0 = jnp.min(py)
-    pxl = jnp.transpose(px - px0, (1, 0))  # (1, P) in [0, tile_w)
-    pyl = jnp.transpose(py - py0, (1, 0))
-    q6 = jnp.concatenate(
-        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
-        axis=0,
-    )  # (6, P) moment basis for dpower (P minor: no lane padding)
+    # The rgb gradient rows are the pixel-sums sum_p dc_c[p] * w[p, l]: one
+    # MXU contraction against the loop-invariant (3, P) cotangent basis
+    # replaces three sublane reductions and their (P, 128) products. (The
+    # same trick algebraically rearranged for the dpower-derived rows —
+    # d_mx = -ca*(mx*M0 - Mx) etc. — was tried in r4 and REVERTED: dpower
+    # is sign-varying, so the rearranged sums cancel ~3 decimal digits and
+    # sharded gradcheck fails at 1e-4; the rgb form below is the SAME
+    # summation as the direct reduction, no rearrangement, bit-safe.)
     d3 = jnp.transpose(
         jnp.concatenate([dc_r, dc_g, dc_b], axis=1), (1, 0))  # (3, P)
 
@@ -432,39 +423,25 @@ def _backward_kernel(
         da_g = jnp.where(og < cfg.ALPHA_MAX, dalpha, 0.0)
         dpower = da_g * og
 
-        # Per-feature gradients via the moment matmuls (see q6/d3 above):
-        # two MXU contractions replace nine sublane reductions and their
-        # (P, 128) product operands.
-        m6 = jax.lax.dot_general(
-            q6, dpower, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )  # (6, 128): [M0, Mx, My, Mxx, Mxy, Myy]
+        # Per-feature gradients: direct sublane reductions for the
+        # dpower-derived rows (order-faithful sums — see the d3 note above),
+        # one MXU contraction for the three rgb rows.
+        obuf[slot, F_MX : F_MX + 1, :] = jnp.sum(
+            dpower * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
+        obuf[slot, F_MY : F_MY + 1, :] = jnp.sum(
+            dpower * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
+        obuf[slot, F_CA : F_CA + 1, :] = jnp.sum(
+            dpower * (-0.5 * (dx * dx)), axis=0, keepdims=True)
+        obuf[slot, F_CB : F_CB + 1, :] = jnp.sum(
+            dpower * (-(dx * dy)), axis=0, keepdims=True)
+        obuf[slot, F_CC : F_CC + 1, :] = jnp.sum(
+            dpower * (-0.5 * (dy * dy)), axis=0, keepdims=True)
+        obuf[slot, F_OP : F_OP + 1, :] = jnp.sum(
+            da_g * gv, axis=0, keepdims=True)
         m3 = jax.lax.dot_general(
             d3, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HI,
         )  # (3, 128): [sum w*dc_r, sum w*dc_g, sum w*dc_b]
-        m0 = m6[0:1, :]
-        mxm = m6[1:2, :]
-        mym = m6[2:3, :]
-        mxx = m6[3:4, :]
-        mxy = m6[4:5, :]
-        myy = m6[5:6, :]
-        mxl = f[F_MX : F_MX + 1, :] - px0  # tile-local mean (1, 128)
-        myl = f[F_MY : F_MY + 1, :] - py0
-        ax = mxl * m0 - mxm  # = sum_p dpower * dx
-        ay = myl * m0 - mym
-        op = f[F_OP : F_OP + 1, :]
-        obuf[slot, F_MX : F_MX + 1, :] = -(ca * ax + cb * ay)
-        obuf[slot, F_MY : F_MY + 1, :] = -(cb * ax + cc * ay)
-        obuf[slot, F_CA : F_CA + 1, :] = -0.5 * (
-            mxl * mxl * m0 - 2.0 * mxl * mxm + mxx)
-        obuf[slot, F_CB : F_CB + 1, :] = -(
-            mxl * myl * m0 - mxl * mym - myl * mxm + mxy)
-        obuf[slot, F_CC : F_CC + 1, :] = -0.5 * (
-            myl * myl * m0 - 2.0 * myl * mym + myy)
-        # dpower = da_g * op * gv and op is a per-lane constant, so
-        # sum da_g * gv = M0 / op (0/eps = 0 for dead/padded lanes).
-        obuf[slot, F_OP : F_OP + 1, :] = m0 / jnp.maximum(op, 1e-20)
         obuf[slot, F_R : F_R + 1, :] = m3[0:1, :]
         obuf[slot, F_G : F_G + 1, :] = m3[1:2, :]
         obuf[slot, F_B : F_B + 1, :] = m3[2:3, :]

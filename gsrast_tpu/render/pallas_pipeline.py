@@ -215,17 +215,15 @@ def _fused_pack_bwd(tiers, n, num_tiles, res, cots):
     routed = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
     dg = jnp.stack(routed[1:], axis=0)  # (9, S) in slot order
 
-    d_ranked = None
+    d_ranked = jnp.zeros((9, n), dg.dtype)
     for (w_j, b_j, off_j) in dims:
         # T-major tier: reshape splits the MAJOR axis (free) and the
         # per-gaussian reduction is a sublane-axis sum — ranks stay in lanes.
         d_tier = jnp.sum(
             dg[:, off_j: off_j + b_j * w_j].reshape(9, w_j, b_j), axis=1)
-        if d_ranked is None:
-            d_ranked = d_tier  # tier 0: b_0 == n
-        else:
-            # Nested prefixes: tier j's rows are ranks [0, b_j) — slice add.
-            d_ranked = d_ranked.at[:, :b_j].add(d_tier)
+        # Nested prefixes: tier j's rows are ranks [0, b_j) — slice add
+        # (tier 0 may itself be budgeted < n on the tile-sharded path).
+        d_ranked = d_ranked.at[:, :b_j].add(d_tier)
     # Un-rank: one more N-row sort keyed on the original index payload.
     ops2 = (order,) + tuple(d_ranked[i] for i in range(9))
     unranked = jax.lax.sort(ops2, dimension=0, num_keys=1, is_stable=True)
