@@ -188,7 +188,7 @@ def shard_tiers(tiers, n_dev: int, headroom: float = 2.0) -> tuple:
             # we don't know nrows statically, so use a conservative 0.9.
             f = 0.9
         if out and out[-1][0] >= kd:
-            out[-1] = (out[-1][0], max(out[-1][1], f))
+            pass  # collapsed into the earlier tier; keep its frac
         else:
             out.append((kd, f))
     # re-enforce ascending ks and non-increasing fracs

@@ -9,9 +9,15 @@ exposes the overheads that would gate real scaling — per-device binning
 redundancy, collective volume, tile-load imbalance. Absolute CPU numbers are
 meaningless; the per-device efficiency ratio is the artifact.
 
-Writes SCALING_r{N}.json: {device_counts, mpix_s, efficiency, mode, notes}.
+r4 (VERDICT r3 #2/#3): representative scale (200k gaussians, 1024x512), the
+PALLAS kernels in the sharded step (interpret mode on CPU), the fused
+multi-tier binning with device-scaled tiers, and a per-stage decomposition
+(prep / binning / pack+route / blend, per D) so the curve's shape is
+explained, not just recorded.
 
-Usage: python scripts/scaling_bench.py [--out SCALING_r03.json]
+Writes SCALING_r{N}.json.
+
+Usage: python scripts/scaling_bench.py [--out SCALING_r04.json] [--quick]
 """
 
 from __future__ import annotations
@@ -52,14 +58,69 @@ def timeit(fn, *args, iters=3):
     return best
 
 
+def stage_decomposition(act, camera, cfg, mesh, d, iters):
+    """Per-stage fwd ms on the tile-sharded fused path at D devices: prep
+    (sharded preprocess incl. all_gather), binning (plan_tiers), pack (fused
+    sort-pack), blend. Stages are timed as growing prefixes of the shard_fn
+    under shard_map, so each includes its predecessors; the table reports
+    the diffs."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from gsrast_tpu.ops import binning as binning_ops
+    from gsrast_tpu.parallel.mesh import TILE_AXIS
+    from gsrast_tpu.parallel.sharded import (_local_tiles_fused,
+                                             _sharded_prep,
+                                             _rows_per_device)
+
+    grid_h, grid_w = cfg.grid_shape(camera.height, camera.width)
+    rpd = _rows_per_device(grid_h, d)
+    cfg_d = cfg.replace(tiers=binning_ops.shard_tiers(cfg.tiers, d))
+
+    def make(stage):
+        def shard_fn(g):
+            dd = jax.lax.axis_index(TILE_AXIS)
+            row0 = dd
+            prep = _sharded_prep(g, camera, cfg, d, TILE_AXIS)
+            if stage == "prep":
+                return jnp.sum(prep.mean2d)[None]
+            plan = binning_ops.plan_tiers(
+                jax.lax.stop_gradient(prep), grid_h, grid_w, cfg_d,
+                num_local_rows=rpd, row0=row0, row_stride=d)
+            if stage == "binning":
+                return (jnp.sum(plan.tile_key) + jnp.sum(plan.total))[
+                    None].astype(jnp.float32)
+            tiles_rgb, ft, nc, stats = _local_tiles_fused(
+                prep, cfg, cfg_d, grid_h, grid_w, rpd, row0, d, cfg.backend)
+            return jnp.sum(tiles_rgb)[None]
+
+        in_spec = jax.tree.map(lambda _: jax.sharding.PartitionSpec(), None)
+        return jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(), act),),
+            out_specs=P(TILE_AXIS), check_rep=False))
+
+    out = {}
+    prev = 0.0
+    for stage in ("prep", "binning", "blend"):
+        t = timeit(make(stage), act, iters=iters) * 1e3
+        out[stage] = round(t - prev, 1)
+        prev = t
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=None)
-    ap.add_argument("--n", type=int, default=20_000)
-    ap.add_argument("--width", type=int, default=512)
-    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="20k/512x256 (the r3 scale) for fast checks")
     args = ap.parse_args()
+    if args.quick:
+        args.n, args.width, args.height = 20_000, 512, 256
 
     from gsrast_tpu import Camera, RenderConfig, random_scene
     from gsrast_tpu.camera import look_at
@@ -68,8 +129,14 @@ def main():
                                              render_primitive_sharded,
                                              render_tile_sharded)
 
-    cfg = RenderConfig(backend="xla", max_per_tile=2048, tile_chunk=4,
-                       intersect_capacity_factor=8.0)
+    # Pallas kernels (interpret on CPU) + fused multi-tier binning: the
+    # exact hot path the real chip runs, at representative scale.
+    tiers = ((2, 1.0), (3, 0.95), (4, 0.62), (6, 0.4), (8, 0.22), (16, 0.1),
+             (48, 0.02))
+    cfg = RenderConfig(backend="pallas", tile_h=8, tile_w=64,
+                       max_per_tile=4096, tile_chunk=4,
+                       intersect_capacity_factor=8.0, tiers=tiers)
+    cfg_prim = cfg.replace(backend="xla", tiers=())  # primitive path: legacy
     scene = random_scene(jax.random.PRNGKey(0), args.n, sh_degree=1,
                          isotropic=False, scale_range=(0.004, 0.015))
     act = scene.activated()
@@ -81,7 +148,8 @@ def main():
     pixels = args.width * args.height
     counts = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
     result = {"device_counts": counts, "pixels": pixels,
-              "n_gaussians": args.n, "modes": {}}
+              "n_gaussians": args.n, "backend": "pallas(interpret)+fused",
+              "modes": {}, "stages_tile_fwd_ms": {}}
 
     for mode in ("tile", "primitive"):
         mpix = []
@@ -94,11 +162,13 @@ def main():
                     return jnp.mean(out.image)
                 g = jax.jit(jax.grad(loss))
                 dt = timeit(g, act.means, iters=args.iters)
+                result["stages_tile_fwd_ms"][str(d)] = stage_decomposition(
+                    act, camera, cfg, mesh, d, args.iters)
             else:
                 pact = pad_gaussians(act, d)
                 def loss(means, pact=pact, mesh=mesh):
                     out = render_primitive_sharded(
-                        pact.replace(means=means), camera, cfg, mesh)
+                        pact.replace(means=means), camera, cfg_prim, mesh)
                     return jnp.mean(out.image)
                 g = jax.jit(jax.grad(loss))
                 dt = timeit(g, pact.means, iters=args.iters)
@@ -106,22 +176,25 @@ def main():
             print(f"{mode:9s} D={d}: {dt*1e3:8.1f} ms  "
                   f"{mpix[-1]:6.2f} Mpix/s", flush=True)
         eff = [m / (mpix[0] * d) for m, d in zip(mpix, counts)]
+        rel = [e * d for e, d in zip(eff, counts)]  # vs ideal-flat 1/D
         result["modes"][mode] = {
             "mpix_s": [round(m, 3) for m in mpix],
             "efficiency_vs_1dev": [round(e, 3) for e in eff],
+            "vs_ideal_flat": [round(r, 3) for r in rel],
         }
 
     result["notes"] = (
         "virtual 8-device CPU mesh (one real TPU chip available); ratios "
-        "exercise the real sharded paths fwd+bwd; absolute values are CPU. "
-        "Virtual devices SHARE host cores, so ideal scaling here is flat "
-        "Mpix/s (efficiency ~ 1/D); efficiency_vs_1dev ABOVE 1/D means the "
-        "sharded path does less total work than D single-device renders."
+        "exercise the real sharded paths fwd+bwd with the PALLAS kernels "
+        "(interpret mode) and the fused multi-tier binning. Virtual devices "
+        "SHARE host cores, so ideal scaling here is flat Mpix/s "
+        "(efficiency ~ 1/D); vs_ideal_flat = efficiency * D, target >= 0.7 "
+        "(VERDICT r3 #2). stages_tile_fwd_ms decomposes the tile-mode "
+        "forward per D (prefix-timed; entries are stage deltas)."
     )
-    out_path = args.out or "SCALING_r03.json"
-    with open(out_path, "w") as f:
+    with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
-    print(f"wrote {out_path}")
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
