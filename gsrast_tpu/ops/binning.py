@@ -182,11 +182,12 @@ def shard_tiers(tiers, n_dev: int, headroom: float = 2.0) -> tuple:
         if i == len(tiers) - 1:
             kd = max(kd, min(k, int(-(-k * headroom // n_dev))))
         if i == 0:
-            # Budget tier 0: ~frac of gaussians owning >= 1 tile here. With
-            # rows-owned ~ nrows/D + Bernoulli remainder, bound by the
-            # global frac of visible gaussians scaled by min(1, 2*nrows/D);
-            # we don't know nrows statically, so use a conservative 0.9.
-            f = 0.9
+            # Tier 0 keeps its full budget: at high D nearly every visible
+            # gaussian still owns >= 1 tile on every device (interleaved
+            # rows), so trimming it drops REAL work (r4: a 0.9 heuristic
+            # cost 5k counted tiles at dryrun scale). The per-device win
+            # comes from the width scaling above, not from starving tier 0.
+            f = max(f, 1.0)
         if out and out[-1][0] >= kd:
             pass  # collapsed into the earlier tier; keep its frac
         else:

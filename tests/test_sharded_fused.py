@@ -46,7 +46,10 @@ class TestShardTiers:
         ks = [k for k, _ in td]
         assert ks == sorted(ks)
         assert ks[-1] < TIERS[-1][0]  # widths shrink with D
-        assert td[0][1] < 1.0  # tier 0 becomes budgeted
+        # tier 0 keeps its FULL budget (nearly every visible gaussian owns
+        # >= 1 tile on every device under interleaved rows; trimming it
+        # dropped real work at dryrun scale) — the shrink comes from widths.
+        assert td[0][1] >= 1.0
         dims_1, s1 = tier_dims(10_000, TIERS)
         dims_8, s8 = tier_dims(10_000, td)
         assert s8 < s1 / 2  # per-device slot volume actually shrinks
