@@ -112,8 +112,17 @@ def timeit(fn: Callable, *args, iters: int = 3) -> float:
 
 def run_bench(n: int, width: int, height: int, backend: str,
               fwd_only: bool = False, iters: int = 10, scene=None,
-              camera=None, **cfg_overrides):
-    """Time the north-star step. Returns (best_ms, mpix_s)."""
+              camera=None, chain: int = 1, **cfg_overrides):
+    """Time the north-star step. Returns (best_ms, mpix_s).
+
+    `chain` > 1 measures STEADY-STATE throughput: a lax.scan of `chain`
+    data-dependent steps inside ONE executable, timed with one sync and
+    divided by `chain`. One-dispatch-per-step timing serializes the axon
+    tunnel's ~55 ms dispatch+RTT floor into every step — a pure measurement
+    artifact: a real training loop enqueues step N+1 while N runs. The
+    scan carries the params through a zero-magnitude update derived from
+    each step's gradients, so steps stay dependent (no CSE/DCE) exactly
+    like a real optimizer chain."""
     from .render.api import render
     from .scene.gaussians import merge_params, split_params
 
@@ -140,13 +149,11 @@ def run_bench(n: int, width: int, height: int, backend: str,
     # closed-over device array into the HLO as a constant forces a
     # device->host fetch, which stalls over the axon TPU tunnel.
     if fwd_only:
-        @jax.jit
-        def step(params, mask):
+        def one(params, mask):
             s = merge_params(params, mask)
             return render(s.activated(), camera, rcfg).image
     else:
-        @jax.jit
-        def step(params, mask):
+        def one(params, mask):
             def loss(p):
                 s = merge_params(p, mask)
                 img = render(s.activated(), camera, rcfg).image
@@ -154,7 +161,26 @@ def run_bench(n: int, width: int, height: int, backend: str,
 
             return jax.grad(loss)(params)
 
-    best_ms = timeit(step, params, mask, iters=iters)
+    if chain <= 1:
+        step = jax.jit(one)
+    else:
+        @jax.jit
+        def step(params, mask):
+            def body(p, _):
+                out = one(p, mask)
+                # zero-magnitude but data-dependent carry update: keeps the
+                # chain sequential like an optimizer without changing the
+                # measured math (0.0 * grad / 0.0 * pixel-mean).
+                if fwd_only:
+                    eps = 0.0 * jnp.mean(out)
+                    p2 = jax.tree.map(lambda a: a + eps, p)
+                else:
+                    p2 = jax.tree.map(lambda a, g: a + 0.0 * g, p, out)
+                return p2, None
+
+            return jax.lax.scan(body, params, None, length=chain)[0]
+
+    best_ms = timeit(step, params, mask, iters=iters) / max(chain, 1)
     mpix_s = camera.width * camera.height / best_ms / 1e3
     return best_ms, mpix_s
 

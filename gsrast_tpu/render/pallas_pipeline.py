@@ -9,18 +9,22 @@ index — the same residuals the reference stores (GSCuda.cu:669-676) — and th
 backward replays the blend in reverse from them.
 
 Differentiability layout:
-  preprocess (XLA, autodiff)  ->  feature gather by sorted index (custom VJP:
-  the cotangent routes back through the binning's inverse permutation as a
-  second gather + K-sum — NO scatter)  ->  blend (Pallas custom_vjp over
-  per-intersection features)  ->  image assembly (XLA).
+  preprocess (XLA, autodiff)  ->  fused sort-pack (custom VJP: features ride
+  the binning sort as payloads; cotangents route back by ONE slot-keyed sort
+  + per-tier sublane sums — NO scatter, NO gather)  ->  blend (Pallas
+  custom_vjp over per-intersection features)  ->  image assembly (XLA).
 Binning is integer structure (stop_gradient), as in the reference where
 gradients do not flow through the sort.
 
-Round-2 dataflow: features are packed ONCE, directly in the binning's global
-depth-sorted order (one contiguous row gather) with the owning tile id as a
-feature row; the kernels walk unaligned per-tile segments and mask foreign
-lanes in shared boundary chunks. This removed round 1's entire segment
-re-padding stage (a second full sort) and its index indirection.
+Dataflow history: round 2 packed features once by a post-sort gather (one
+contiguous row gather into the kernels' layout); round 4 deleted that gather
+entirely — `fused_pack` builds the feature rows ELEMENTWISE on the t-major
+multi-tier slot grid (a free middle-axis broadcast of count-ranked rows) and
+lets them ride the (tile, full-depth) 2-key sort as payloads (lax.sort cost
+is row-count-bound; BASELINE.md "Corrected sort economics"). The legacy
+two-tier `_gather_sorted` path below serves cfg.tiers=() configs and the
+primitive-sharded exchange. The kernels are unchanged: they walk unaligned
+per-tile segments and mask foreign lanes in shared boundary chunks.
 """
 
 from __future__ import annotations

@@ -136,7 +136,10 @@ def main():
     cfg = RenderConfig(backend="pallas", tile_h=8, tile_w=64,
                        max_per_tile=4096, tile_chunk=4,
                        intersect_capacity_factor=8.0, tiers=tiers)
-    cfg_prim = cfg.replace(backend="xla", tiers=())  # primitive path: legacy
+    # Primitive path keeps the legacy expansion (its exchange design) but
+    # blends with the PALLAS kernels: the XLA oracle's per-chunk autodiff
+    # residuals at max_per_tile=4096 x 1024 tiles OOM at this scale (136 GB).
+    cfg_prim = cfg.replace(tiers=())
     scene = random_scene(jax.random.PRNGKey(0), args.n, sh_degree=1,
                          isotropic=False, scale_range=(0.004, 0.015))
     act = scene.activated()
@@ -187,10 +190,14 @@ def main():
         "virtual 8-device CPU mesh (one real TPU chip available); ratios "
         "exercise the real sharded paths fwd+bwd with the PALLAS kernels "
         "(interpret mode) and the fused multi-tier binning. Virtual devices "
-        "SHARE host cores, so ideal scaling here is flat Mpix/s "
-        "(efficiency ~ 1/D); vs_ideal_flat = efficiency * D, target >= 0.7 "
-        "(VERDICT r3 #2). stages_tile_fwd_ms decomposes the tile-mode "
-        "forward per D (prefix-timed; entries are stage deltas)."
+        "SHARE host cores, so flat Mpix/s (efficiency ~ 1/D) is the "
+        "conservative ideal; vs_ideal_flat = efficiency * D, target >= 0.7 "
+        "(VERDICT r3 #2). Values ABOVE 1.0 are real here for two reasons: "
+        "device-scaled tiers do less total work than one big-K single "
+        "device, and interpret-mode Pallas programs are single-threaded "
+        "per device, so D-way sharding also buys host-thread parallelism. "
+        "stages_tile_fwd_ms decomposes the tile-mode forward per D "
+        "(prefix-timed; entries are stage deltas)."
     )
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
