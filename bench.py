@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--backend", default=None, choices=["pallas", "xla"])
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--chain", type=int, default=4,
+    ap.add_argument("--chain", type=int, default=8,
                     help="steps chained per dispatch (steady-state timing; "
                          "1 = pay the ~55 ms tunnel dispatch floor per step)")
     ap.add_argument("--verbose", action="store_true")

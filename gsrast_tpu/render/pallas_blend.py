@@ -423,19 +423,23 @@ def _backward_kernel(
         da_g = jnp.where(og < cfg.ALPHA_MAX, dalpha, 0.0)
         dpower = da_g * og
 
-        # Per-feature gradients: direct sublane reductions for the
-        # dpower-derived rows (order-faithful sums — see the d3 note above),
-        # one MXU contraction for the three rgb rows.
-        obuf[slot, F_MX : F_MX + 1, :] = jnp.sum(
-            dpower * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
-        obuf[slot, F_MY : F_MY + 1, :] = jnp.sum(
-            dpower * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
-        obuf[slot, F_CA : F_CA + 1, :] = jnp.sum(
-            dpower * (-0.5 * (dx * dx)), axis=0, keepdims=True)
-        obuf[slot, F_CB : F_CB + 1, :] = jnp.sum(
-            dpower * (-(dx * dy)), axis=0, keepdims=True)
-        obuf[slot, F_CC : F_CC + 1, :] = jnp.sum(
-            dpower * (-0.5 * (dy * dy)), axis=0, keepdims=True)
+        # Per-feature gradients: direct sublane reductions of the dpower
+        # moments against the LANE-VARYING dx/dy (order-faithful sums — see
+        # the d3 note above; factoring the per-lane conic constants ca/cb/cc
+        # OUT of the pixel sums is a scalar multiple, not a rearrangement,
+        # so it cannot cancel), one MXU contraction for the three rgb rows.
+        dpx = dpower * dx
+        dpy = dpower * dy
+        sx = jnp.sum(dpx, axis=0, keepdims=True)   # (1, 128)
+        sy = jnp.sum(dpy, axis=0, keepdims=True)
+        obuf[slot, F_MX : F_MX + 1, :] = -(ca * sx + cb * sy)
+        obuf[slot, F_MY : F_MY + 1, :] = -(cc * sy + cb * sx)
+        obuf[slot, F_CA : F_CA + 1, :] = -0.5 * jnp.sum(
+            dpx * dx, axis=0, keepdims=True)
+        obuf[slot, F_CB : F_CB + 1, :] = -jnp.sum(
+            dpx * dy, axis=0, keepdims=True)
+        obuf[slot, F_CC : F_CC + 1, :] = -0.5 * jnp.sum(
+            dpy * dy, axis=0, keepdims=True)
         obuf[slot, F_OP : F_OP + 1, :] = jnp.sum(
             da_g * gv, axis=0, keepdims=True)
         m3 = jax.lax.dot_general(
