@@ -355,15 +355,11 @@ def render_primitive_sharded(
     c_send = -(-send_capacity // 128) * 128
     c_recv = n_dev * c_send
 
-    # One headroom bit: the all-ones sentinel pattern must decode to a dest
-    # >= n_dev so dead slots fall past every real destination bucket.
-    dest_bits = max(2, n_dev.bit_length())
+    # r4: 2-key ordering (route = dest|ltile, FULL 32-bit depth bits) — the
+    # reference's 64-bit key precision (GSCuda.cu:461-474) with no
+    # quantized-depth ties, matching the fused single-chip path; also lifts
+    # the old 31-bit budget's device/tile-count limit.
     ltile_bits = (tpd + 1).bit_length()
-    depth_bits = 31 - dest_bits - ltile_bits
-    assert depth_bits >= 10, (
-        f"D={n_dev}, tpd={tpd} leaves {depth_bits} depth bits; use larger "
-        "tiles or fewer devices on the tile axis"
-    )
     imax = jnp.iinfo(jnp.int32).max
 
     def shard_fn(g: ActivatedGaussians):
@@ -372,8 +368,7 @@ def render_primitive_sharded(
         sprep = jax.lax.stop_gradient(prep)
 
         # --- 2. intersection slots with routing keys (structure: no grad) --
-        dshift = 31 - depth_bits
-        depth_q = projection.depth_order_key(sprep.depth) >> dshift  # (nl,)
+        depth_q = projection.depth_order_key(sprep.depth)  # (nl,) full bits
         rect = sprep.rect
         rw_safe = jnp.maximum(rect.x_max - rect.x_min, 1)
         gi, k, _offsets, total = binning_ops.expand_intersections(
@@ -387,16 +382,14 @@ def render_primitive_sharded(
         x = rect.x_min[gi] + rx
         dest = y // rpd
         ltile = (y - dest * rpd) * grid_w + x
-        key = jnp.where(
-            valid,
-            (((dest << ltile_bits) | ltile) << depth_bits) | depth_q[gi],
-            imax,
-        )
+        route = jnp.where(valid, (dest << ltile_bits) | ltile, imax)
+        dkey = jnp.where(valid, depth_q[gi], 0)
 
-        # --- 3. group by destination: one sort + fixed-buffer gather -------
+        # --- 3. group by destination: one 2-key sort + fixed-buffer gather -
         slot = jnp.arange(c_exp, dtype=jnp.int32)
-        skey, sslot = jax.lax.sort((key, slot), num_keys=1, is_stable=True)
-        sdest = jnp.minimum(skey >> (ltile_bits + depth_bits), n_dev)
+        sroute, sdkey, sslot = jax.lax.sort(
+            (route, dkey, slot), num_keys=2, is_stable=True)
+        sdest = jnp.minimum(sroute >> ltile_bits, n_dev)
         dest_starts = jnp.searchsorted(
             sdest, jnp.arange(n_dev + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
@@ -405,9 +398,10 @@ def render_primitive_sharded(
 
         idx = dest_starts[:-1, None] + jnp.arange(c_send)[None, :]  # (D, Cs)
         ok = idx < dest_starts[1:, None]
-        idx_c = jnp.minimum(idx, skey.shape[0] - 1)
-        lkey_mask = (1 << (ltile_bits + depth_bits)) - 1
-        send_key = jnp.where(ok, skey[idx_c] & lkey_mask, imax)
+        idx_c = jnp.minimum(idx, sroute.shape[0] - 1)
+        lkey_mask = (1 << ltile_bits) - 1
+        send_key = jnp.where(ok, sroute[idx_c] & lkey_mask, imax)
+        send_depth = jnp.where(ok, sdkey[idx_c], 0)
         src_gauss = gi[sslot[idx_c]]  # local gaussian per send row
         send_gid = jnp.where(ok, d * nl + src_gauss, -1)
 
@@ -429,6 +423,9 @@ def render_primitive_sharded(
         recv_key = jax.lax.all_to_all(
             send_key, TILE_AXIS, split_axis=0, concat_axis=0, tiled=True
         ).reshape(-1)
+        recv_depth = jax.lax.all_to_all(
+            send_depth, TILE_AXIS, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(-1)
         recv_gid = jax.lax.all_to_all(
             send_gid, TILE_AXIS, split_axis=0, concat_axis=0, tiled=True
         ).reshape(-1)
@@ -438,14 +435,14 @@ def render_primitive_sharded(
 
         # --- 5. local order restore + blend -------------------------------
         pos = jnp.arange(c_recv, dtype=jnp.int32)
-        # Global blend order = (tile, depth, global gaussian id): matches the
-        # single-device binning's (tile|depth, slot) tie-break exactly.
-        _, _, perm = jax.lax.sort(
-            (recv_key, recv_gid, pos), num_keys=2, is_stable=True
+        # Global blend order = (tile, FULL depth, global gaussian id) —
+        # 3-key sort; deterministic and quantization-free.
+        _, _, _, perm = jax.lax.sort(
+            (recv_key, recv_depth, recv_gid, pos), num_keys=3, is_stable=True
         )
         _, inv_perm = jax.lax.sort((perm, pos), num_keys=1, is_stable=True)
-        sorted_key = recv_key[perm]
-        sorted_ltile = jnp.minimum(sorted_key >> depth_bits, tpd)
+        sorted_ltile = jnp.minimum(recv_key[perm], tpd)
+        sorted_key = jnp.where(sorted_ltile < tpd, sorted_ltile, imax)
         tile_starts = jnp.searchsorted(
             sorted_ltile, jnp.arange(tpd + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
