@@ -312,6 +312,9 @@ def cmd_bench(argv) -> None:
                          "(real scenes carry radius/depth skew)")
     ap.add_argument("--backend", default=None, choices=["pallas", "xla"])
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--chain", type=int, default=1,
+                    help="steps per dispatch (steady-state timing; bench.py "
+                         "ships chain=8 — see BASELINE.md methodology note)")
     ap.add_argument("--no-stages", action="store_true",
                     help="skip the per-stage table (headline only)")
     args = ap.parse_args(argv)
@@ -341,7 +344,7 @@ def cmd_bench(argv) -> None:
 
     best_ms, mpix_s = benchmark.run_bench(
         args.n, args.width, args.height, backend, iters=args.iters,
-        scene=scene, camera=camera)
+        scene=scene, camera=camera, chain=args.chain)
     print(json.dumps({
         "metric": "mpixels_per_s_per_chip_fwd_bwd",
         "n": args.n, "width": args.width, "height": args.height,
