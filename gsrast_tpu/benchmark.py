@@ -79,12 +79,10 @@ def _sync(out) -> None:
     jax.device_get(leaf[(0,) * getattr(leaf, "ndim", 0)])
 
 
-def auto_tiers_for(scene, camera, rcfg):
-    """Tier spec from one preprocess pass over (scene, camera): per-Gaussian
-    owned-tile counts -> ops.binning.auto_tiers."""
+def scene_tile_counts(scene, camera, rcfg):
+    """Per-Gaussian owned-tile counts from one preprocess pass (numpy)."""
     import numpy as np
 
-    from .ops import binning as binning_ops
     from .ops.preprocess import preprocess
 
     grid_h, _ = rcfg.grid_shape(camera.height, camera.width)
@@ -94,7 +92,15 @@ def auto_tiers_for(scene, camera, rcfg):
     nrows = jnp.maximum(
         jnp.minimum(rect.y_max, grid_h) - jnp.maximum(rect.y_min, 0), 0)
     counts = jnp.where(prep.radius > 0, nrows * rw, 0)
-    return binning_ops.auto_tiers(np.asarray(jax.device_get(counts)))
+    return np.asarray(jax.device_get(counts))
+
+
+def auto_tiers_for(scene, camera, rcfg):
+    """Tier spec from one preprocess pass over (scene, camera): per-Gaussian
+    owned-tile counts -> ops.binning.auto_tiers."""
+    from .ops import binning as binning_ops
+
+    return binning_ops.auto_tiers(scene_tile_counts(scene, camera, rcfg))
 
 
 def timeit(fn: Callable, *args, iters: int = 3) -> float:
@@ -139,8 +145,23 @@ def run_bench(n: int, width: int, height: int, backend: str,
         cfg_overrides.setdefault("intersect_capacity_factor",
                                  max(64.0, 8e6 / max(n, 1)))
         if "tiers" not in cfg_overrides:
-            cfg_overrides["tiers"] = auto_tiers_for(
+            import numpy as np
+
+            counts = scene_tile_counts(
                 scene, camera, rcfg.replace(**cfg_overrides))
+            mean_c = float(counts.mean()) if counts.size else 0.0
+            if "tile_w" not in cfg_overrides and mean_c > 8.0:
+                # Big-splat scenes (trained): wider tiles cut per-gaussian
+                # tile counts (and so sort/route rows) faster than they add
+                # pixel waste — measured 922 vs 1125 ms on the trained-1M
+                # scene at 1080p.
+                cfg_overrides["tile_w"] = 128
+                counts = scene_tile_counts(
+                    scene, camera, rcfg.replace(**cfg_overrides))
+            from .ops import binning as binning_ops
+
+            cfg_overrides["tiers"] = binning_ops.auto_tiers(
+                np.asarray(counts))
     if cfg_overrides:
         rcfg = rcfg.replace(**cfg_overrides)
     params, mask = split_params(scene)
