@@ -35,8 +35,8 @@ imbalance (addressed by interleaved ownership) and the key exchange volume.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

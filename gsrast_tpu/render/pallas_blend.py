@@ -55,7 +55,7 @@ Blend math (identical semantics to GSCuda.cu:634-676):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Static-shape policy: per-tile work is capped at `max_per_tile` intersections
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
