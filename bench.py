@@ -49,11 +49,23 @@ def main() -> None:
         n, width, height, backend, fwd_only=args.fwd_only, iters=args.iters,
         chain=args.chain,
     )
+    # BOTH timing bases ship in the artifact (VERDICT r4 weak #1): the
+    # chained number is steady-state (the dispatch+RTT floor amortized, like
+    # a real async training loop); the per-dispatch number is the
+    # r1-r3-comparable like-for-like series.
+    if args.chain > 1:
+        pd_ms, pd_mpix = benchmark.run_bench(
+            n, width, height, backend, fwd_only=args.fwd_only,
+            iters=max(3, args.iters // 2), chain=1,
+        )
+    else:
+        pd_ms, pd_mpix = best_ms, mpix_s
 
     if args.verbose:
         print(
             f"# backend={backend} n={n} {width}x{height} "
-            f"fwd{'_only' if args.fwd_only else '+bwd'} best={best_ms:.2f}ms",
+            f"fwd{'_only' if args.fwd_only else '+bwd'} best={best_ms:.2f}ms "
+            f"per_dispatch={pd_ms:.2f}ms",
             file=sys.stderr,
         )
 
@@ -65,6 +77,10 @@ def main() -> None:
         "value": round(mpix_s, 3),
         "unit": "Mpixels/s/chip",
         "vs_baseline": round(mpix_s / target, 4),
+        "chain": args.chain,
+        "chained_ms": round(best_ms, 2),
+        "per_dispatch_ms": round(pd_ms, 2),
+        "per_dispatch_mpix_s": round(pd_mpix, 3),
     }))
 
 

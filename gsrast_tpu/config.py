@@ -89,8 +89,9 @@ class RenderConfig:
     # every Gaussian gets slots for its first k_0 tiles; the budget_frac_j * N
     # Gaussians with the MOST tiles (a prefix of one count-ranked order) also
     # get slots k_{j-1}..k_j. budget fracs must be non-increasing (nested
-    # prefixes -> no holes in any Gaussian's tile enumeration). The first
-    # entry's frac is ignored (tier 0 covers everyone). Sizes the sort volume
+    # prefixes -> no holes in any Gaussian's tile enumeration). A first-entry
+    # frac >= 1.0 covers every Gaussian; frac < 1 budgets tier 0 itself
+    # (used by the tile-sharded path; drops counted). Sizes the sort volume
     # near the TRUE intersection count instead of K*N: lax.sort cost on TPU
     # is row-count-bound (BASELINE.md), so this is the binning throughput
     # knob. () = legacy two-tier grid.

@@ -169,9 +169,11 @@ def shard_tiers(tiers, n_dev: int, headroom: float = 2.0) -> tuple:
     shrink ~D-fold — tier widths divide by D (ceil, with `headroom` on the
     last tier for row-quantization skew: a 2-row rect on 8 devices still
     gives 2 devices a full row each) and budget fractions keep their global
-    values (frac_d(count_d > k/D) ~= frac(count > k)). Tier 0 becomes
-    budgeted: at high D most gaussians own NO tile on a given device, so its
-    rows are capped at the frac of gaussians likely to appear here at all.
+    values (frac_d(count_d > k/D) ~= frac(count > k)). Tier 0 KEEPS its full
+    budget (frac forced >= 1.0 below): with interleaved rows nearly every
+    visible gaussian still owns >= 1 tile on every device, and an r4
+    experiment that budgeted it to 0.9 dropped real work. (`tier_dims` still
+    supports a budgeted tier 0 with frac < 1 for callers that want one.)
     Collapsed tiers (same k after division) merge, keeping the largest frac.
     Drops are counted by plan_tiers, never silent."""
     if n_dev <= 1:
@@ -264,6 +266,14 @@ def plan_tiers(
     ride the big sort itself (render/pallas_pipeline.fused_pack)."""
     tiers = render_cfg.tiers
     assert tiers, "plan_tiers requires cfg.tiers"
+    # The f32-reciprocal floor trick below needs the f32 relative error
+    # (~1.2e-7) to stay under the 1/(2*rw) floor-boundary margin:
+    # k_last * grid_w must stay well below ~4e6 (ADVICE r4). Today's largest
+    # configs (4K at 8x64: k_last~16k x grid_w 60) hold with ~4x margin.
+    assert tiers[-1][0] * grid_w < 4_000_000, (
+        f"k_last={tiers[-1][0]} x grid_w={grid_w} exceeds the f32 "
+        "floor-division safety bound; use wider tiles or integer division"
+    )
     n = prep.depth.shape[0]
     if num_local_rows is None:
         num_local_rows = grid_h
@@ -311,10 +321,12 @@ def plan_tiers(
     dims, s0 = tier_dims(n, tiers)
     th_px, tw_px = float(render_cfg.tile_h), float(render_cfg.tile_w)
     # Exact integer ks // rw via one f32 multiply: (ks + 0.5) / rw is never
-    # an integer and ks < 64, rw <= grid_w, so the f32 rounding error
-    # (~2e-6) can't cross a floor boundary (distance >= 1/(2*grid_w)).
-    # Integer division on the VPU is emulated and was a top cost of the
-    # (B, w) grid build this replaces.
+    # an integer, so exactness needs the f32 relative error (~1.2e-7) of
+    # (ks + 0.5) * (1/rw) to stay below the distance to the nearest floor
+    # boundary, >= 1/(2*rw): holds while ks * rw < ~4e6 (rw <= grid_w; the
+    # static assert above enforces k_last * grid_w < 4e6). Integer division
+    # on the VPU is emulated and was a top cost of the (B, w) grid build
+    # this replaces.
     r_inv_rw = 1.0 / r_rw.astype(jnp.float32)
 
     tkeys, gausses = [], []

@@ -160,7 +160,10 @@ def _local_tiles_fused(prep, render_cfg, cfg_d, grid_h, grid_w, rpd, row0,
             tile, jnp.arange(tpd + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)
         binning = binning_ops.Binning(
-            sorted_tile=tile, sorted_gauss=sgauss, sorted_slot=plan.slot,
+            # sorted_slot: not the real sort permutation on this path;
+            # blend_tiles_xla never reads it (ADVICE r4).
+            sorted_tile=tile, sorted_gauss=sgauss,
+            sorted_slot=jnp.zeros((0,), jnp.int32),
             heavy_idx=jnp.zeros((0,), jnp.int32), tile_starts=tile_starts,
             num_intersections=plan.total, overflow_capacity=jnp.int32(0),
             overflow_tile_cap=plan.overflow_tile_cap)

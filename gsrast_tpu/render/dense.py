@@ -81,10 +81,12 @@ def blend_pixels(
     final_t = jnp.minimum(final_t, 1.0)
     out = out + final_t[:, None] * background[None, :]
 
-    gidx = jnp.arange(1, w.shape[0] + 1, dtype=jnp.int32)[:, None]
-    n_contrib = jnp.max(
-        jnp.where(w > 0.0, gidx, 0), axis=0, initial=0
-    ).astype(jnp.int32)
+    # n_contrib (r5): count of include=True positions — the blend length
+    # before saturation (see render/tiled.py for the definition note). The
+    # dense path has no segment bound, so `active` stands in for membership.
+    n_contrib = jnp.sum(
+        (include & active).astype(jnp.int32), axis=0
+    )
     return out, final_t, n_contrib
 
 

@@ -16,10 +16,9 @@ Layout (the round-2 redesign: zero scalar reads, MXU for the reductions):
     A feature vector is a (1, 128) sublane read that broadcasts against the
     (P, 1) pixel coordinates — no scalar VMEM reads anywhere. The layout is
     built WITHOUT any transpose (r3): per-feature rows are stacked (9, N)
-    from preprocess outputs, gathered along the minor axis, and the backward
-    writes gradients in the same layout, so the VJP's routing sort reads its
-    payload columns as free row slices (the previous chunk-blocked layout
-    spent ~60 ms/step in XLA transposes at 1M/1080p).
+    from preprocess outputs and ride the binning sort as payloads (r4), and
+    the backward writes gradients in the same layout, so the VJP's routing
+    sort reads its payload columns as free row slices.
   * Tile segments are NOT padded to chunk boundaries (round 2 removed the
     whole re-padding stage): tile t walks chunks floor(start/128) ..
     ceil(end/128); lanes belonging to a neighboring tile in the shared
@@ -33,13 +32,29 @@ Layout (the round-2 redesign: zero scalar reads, MXU for the reductions):
     multiplies), exactly the same closed form the XLA oracle uses
     (render/tiled.py), so forward results match the oracle bit-for-bit in
     ordering semantics.
-  * Color accumulation C += sum_g w_g c_g is ONE MXU matmul per chunk:
-    w (P, 128) @ feat^T (128, 16) accumulates every feature column at once
-    (rgb lands in columns 6:9). precision=HIGHEST keeps it f32-exact.
+  * Color accumulation C += sum_g w_g c_g is ONE MXU matmul per chunk of the
+    THREE rgb feature rows against w (r5: the r2-r4 kernels multiplied all
+    16 feature rows and discarded 13 — a 5x MXU waste).
+  * r5 fast/slow chunk split: per-pixel saturation state only CHANGES in the
+    one chunk where that pixel's transmittance crosses TRANSMITTANCE_MIN.
+    Chunks with no crossing (the overwhelming majority) take a branch with
+    NO include-mask, NO masked lane-min for final_T (it is just the chunk's
+    exit transmittance) and NO lane reduction for n_contrib (it advances by
+    the chunk's segment-lane count, a scalar) — ~35% fewer vector ops than
+    the r4 kernel. The crossing chunk takes the full masked path. Saturated
+    tiles skip whole chunks, as before.
+  * n_contrib semantics (r5): the per-pixel count of blend positions BEFORE
+    saturation (include=True positions in the tile's segment), which is what
+    the backward's replay gate actually needs. The reference reports the
+    last position with a nonzero contribution (GSCuda.cu:671) — a value <=
+    ours when trailing sub-threshold slots precede the crossing; the oracle
+    paths (render/tiled.py, render/dense.py) use the same r5 definition so
+    every backend stays bit-identical.
   * The backward's per-gaussian suffix sums (the Inria reverse recurrence)
-    collapse to ONE MXU matmul with a strictly-lower-triangular mask, and the
-    per-feature gradient reductions are sublane sums to (1, 128) rows —
-    replacing round 1's 9-full-tile-reductions-PER-GAUSSIAN with 9 per CHUNK.
+    are a 7-step Hillis-Steele suffix scan along lanes (r5; r2-r4 used a
+    masked 128x128 MXU matmul — at fp32-HIGHEST that one matmul cost ~as
+    much as all the chunk's VPU work), whose first lane also yields the
+    chunk total that feeds the reverse carry for free.
   * CUDA shared-memory staging of 256 gaussians (GSCuda.cu:576-614) maps to
     double-buffered async DMA of (16, 128) chunks, overlapped with compute;
     per-pixel early termination (GSCuda.cu:652-658) maps to a per-tile chunk
@@ -49,7 +64,7 @@ Blend math (identical semantics to GSCuda.cu:634-676):
   power = -1/2 (A dx^2 + C dy^2) - B dx dy        [dx = mean - pixel]
   alpha = min(0.99, opacity * exp(power)); skip power > 0 or alpha < 1/255
   P_i = T_i (1 - alpha_i);  include_i = P_i >= 1e-4 (monotone done flag)
-  C += c_i alpha_i T_i; final_T = last included P_i; n_contrib = last index.
+  C += c_i alpha_i T_i; final_T = last included P_i.
 """
 
 from __future__ import annotations
@@ -69,12 +84,15 @@ FROWS = 16  # feature rows per chunk (9 used)
 
 # feature row indices within a chunk block
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_TID = range(10)
-# output ROWS of the (FROWS, P) per-tile result (channel-first: a (T, P, 16)
-# output would pad its minor dim 16 -> 128 lanes in HBM, an 8x allocation
-# blow-up that OOMs 4K; (T, 16, P) tiles perfectly)
-OC_FT = 0   # final transmittance (overwrites the junk w·mx accumulation)
-OC_NC = 1   # n_contrib as f32 (exact below 2^24)
-OC_R, OC_G, OC_B = F_R, F_G, F_B  # rgb rows land where the matmul puts them
+# output ROWS of the (OUT_ROWS, P) per-tile result (channel-first: a
+# (T, P, k) output would pad its minor dim k -> 128 lanes in HBM, an 8x+
+# allocation blow-up that OOMs 4K; (T, 8, P) tiles perfectly). r5 shrank the
+# block 16 -> 8 rows (the r2-r4 kernels wrote 11 junk rows of matmul
+# by-product).
+OUT_ROWS = 8
+OC_R, OC_G, OC_B = 0, 1, 2
+OC_FT = 3   # final transmittance
+OC_NC = 4   # n_contrib as f32 (exact below 2^24)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -98,10 +116,26 @@ def _shift_lanes(x: jax.Array, k: int, fill: float) -> jax.Array:
     )
 
 
+def _shift_lanes_left(x: jax.Array, k: int, fill: float) -> jax.Array:
+    """result[:, l] = x[:, l+k] for l < L-k, else fill (static k)."""
+    p = x.shape[0]
+    return jnp.concatenate(
+        [x[:, k:], jnp.full((p, k), fill, x.dtype)], axis=1
+    )
+
+
 def _cumprod_lanes(x: jax.Array) -> jax.Array:
     """Inclusive cumulative product along lanes (Hillis-Steele, 7 steps)."""
     for k in (1, 2, 4, 8, 16, 32, 64):
         x = x * _shift_lanes(x, k, 1.0)
+    return x
+
+
+def _suffix_sum_lanes(x: jax.Array) -> jax.Array:
+    """INCLUSIVE suffix sum along lanes: out[:, l] = sum_{h >= l} x[:, h]
+    (Hillis-Steele, 7 shifted adds). Lane 0 is the full-row total."""
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        x = x + _shift_lanes_left(x, k, 0.0)
     return x
 
 
@@ -124,14 +158,14 @@ def _alpha_terms(f, px, py, t_f32):
     alpha = jnp.minimum(cfg.ALPHA_MAX, og)
     mine = f[F_TID : F_TID + 1, :] == t_f32
     ok = (power <= 0.0) & (alpha >= cfg.ALPHA_MIN) & mine
-    return dx, dy, ca, cb, cc, gv, og, alpha, ok
+    return dx, dy, ca, cb, cc, gv, og, alpha, ok, mine
 
 
 def _forward_kernel(
     starts_ref,  # scalar prefetch: (T+1,) i32 segment bounds (unaligned)
     tmap_ref,  # scalar prefetch: (2,) i32 [tile_lo, tile_stride] — global id
     feat_ref,  # (FROWS, C) f32 lane-major packed features in HBM
-    out_ref,  # out block (1, FROWS, P): rows 6:9 rgb, 0 final_T, 1 n_contrib
+    out_ref,  # out block (1, OUT_ROWS, P): rows 0:3 rgb, 3 final_T, 4 n_contrib
     buf,  # VMEM (2, FROWS, 128) double buffer
     sems,  # DMA sems (2,)
     *,
@@ -152,7 +186,6 @@ def _forward_kernel(
         tmap_ref[0] + (t // grid_w) * tmap_ref[1], t % grid_w, tile_h, tile_w
     )
     t_f32 = t.astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     def get_dma(slot, k):
         return pltpu.make_async_copy(
@@ -166,34 +199,57 @@ def _forward_kernel(
         get_dma(0, 0).start()
 
     def live_body(k, slot, carry):
-        t_carry, acc, ft, nc = carry
+        t_carry, acc3, ft, nc = carry
         f = buf[slot]  # (FROWS, 128)
-        _, _, _, _, _, _, _, alpha, ok = _alpha_terms(f, px, py, t_f32)
+        _, _, _, _, _, _, _, alpha, ok, mine = _alpha_terms(f, px, py, t_f32)
         a_eff = jnp.where(ok, alpha, 0.0)
         cum = _cumprod_lanes(1.0 - a_eff)  # inclusive (P, 128)
-        test_t = t_carry * cum
         t_before = t_carry * _shift_lanes(cum, 1, 1.0)
-        include = test_t >= cfg.TRANSMITTANCE_MIN
-        w = jnp.where(include, a_eff * t_before, 0.0)
-        # ONE matmul accumulates every feature row; rgb = rows 6:9.
-        # f (FROWS, 128) @ w^T (128, P) -> (FROWS, P): channel-first.
-        acc = acc + jax.lax.dot_general(
-            f, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-        # test_t is monotone non-increasing along lanes: the lane-min is the
-        # last value, so final_T freezes at the last included P_i.
-        ft = jnp.minimum(
-            ft, jnp.min(jnp.where(include, test_t, 2.0), axis=1, keepdims=True)
-        )
-        # n_contrib is the 1-based index within the tile's own segment.
-        idxv = ((chunk0 + k) * CHUNK + lane - start + 1).astype(jnp.float32)
-        nc = jnp.maximum(
-            nc, jnp.max(jnp.where(w > 0.0, idxv, 0.0), axis=1, keepdims=True)
-        )
-        # monotone: the lane-min of test_t is just its last lane (no reduce).
-        t_carry = test_t[:, CHUNK - 1 :]
-        return t_carry, acc, ft, nc
+        # cum is monotone non-increasing: its last lane is the full product.
+        t_exit = t_carry * cum[:, CHUNK - 1 :]
+        base = (chunk0 + k) * CHUNK
+        # Lanes of this chunk belonging to the tile's own segment (scalar).
+        nlanes = (
+            jnp.minimum(end, base + CHUNK) - jnp.maximum(start, base)
+        ).astype(jnp.float32)
+
+        def add_rgb(acc3, w):
+            # The THREE rgb rows only: f[6:9] (3, 128) @ w^T (128, P).
+            return acc3 + jax.lax.dot_general(
+                f[F_R : F_B + 1, :], w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+
+        def cheap(c):
+            # No pixel's transmittance crosses TRANSMITTANCE_MIN in this
+            # chunk: every in-segment lane is included for every pixel, so
+            # the include mask is a constant, final_T is just the exit
+            # transmittance, and n_contrib advances by the scalar segment
+            # lane count.
+            _t, acc3, _ft, nc = c
+            w = a_eff * t_before
+            return t_exit, add_rgb(acc3, w), t_exit, nc + nlanes
+
+        def rare(c):
+            # Some pixel crosses inside this chunk (or crossed earlier):
+            # full masked path. include = P_i >= T_min is monotone along
+            # lanes; already-saturated pixels have include all-False, so
+            # their ft/nc stay frozen.
+            _t, acc3, ft, nc = c
+            test_t = t_carry * cum
+            include = test_t >= cfg.TRANSMITTANCE_MIN
+            w = jnp.where(include, a_eff * t_before, 0.0)
+            ft = jnp.minimum(
+                ft,
+                jnp.min(jnp.where(include, test_t, 2.0), axis=1,
+                        keepdims=True),
+            )
+            nc = nc + jnp.sum(
+                jnp.where(include & mine, 1.0, 0.0), axis=1, keepdims=True)
+            return t_exit, add_rgb(acc3, w), ft, nc
+
+        crossed = jnp.min(t_exit) < cfg.TRANSMITTANCE_MIN
+        return jax.lax.cond(crossed, rare, cheap, carry)
 
     def chunk_body(k, carry):
         # Keep the DMA pipeline moving even for saturated tiles so the
@@ -213,17 +269,15 @@ def _forward_kernel(
 
     init = (
         jnp.ones((p, 1), jnp.float32),  # running T
-        jnp.zeros((FROWS, p), jnp.float32),  # feature-weighted accumulators
+        jnp.zeros((3, p), jnp.float32),  # rgb accumulator
         jnp.ones((p, 1), jnp.float32),  # final_T (frozen at last include)
-        jnp.zeros((p, 1), jnp.float32),  # n_contrib
+        jnp.zeros((p, 1), jnp.float32),  # n_contrib (count of included)
     )
-    _, acc, ft, nc = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+    _, acc3, ft, nc = jax.lax.fori_loop(0, nchunks, chunk_body, init)
     # One small (P, 2) -> (2, P) relayout per tile moves ft/nc into rows.
     ftnc = jnp.transpose(jnp.concatenate([ft, nc], axis=1), (1, 0))
-    row = jax.lax.broadcasted_iota(jnp.int32, (FROWS, p), 0)
-    out_ref[0] = jnp.where(
-        row == OC_FT, ftnc[0:1, :],
-        jnp.where(row == OC_NC, ftnc[1:2, :], acc),
+    out_ref[0] = jnp.concatenate(
+        [acc3, ftnc, jnp.zeros((OUT_ROWS - 5, p), jnp.float32)], axis=0
     )
 
 
@@ -238,7 +292,8 @@ def blend_forward(
     num_tiles: int | None = None,
     tile_map: jax.Array | None = None,
 ) -> jax.Array:
-    """Returns (T, FROWS, P): rows 6:9 rgb, row 0 final_T, row 1 n_contrib.
+    """Returns (T, OUT_ROWS, P): rows 0:3 rgb, row 3 final_T, row 4
+    n_contrib.
 
     `num_tiles`/`tile_map` support the tile-sharded path: blend `num_tiles`
     LOCAL tiles whose global tile ROW (for pixel coordinates) is
@@ -252,7 +307,7 @@ def blend_forward(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
-        out_specs=[pl.BlockSpec((1, FROWS, p), lambda t, s, m: (t, 0, 0))],
+        out_specs=[pl.BlockSpec((1, OUT_ROWS, p), lambda t, s, m: (t, 0, 0))],
         scratch_shapes=[
             pltpu.VMEM((2, FROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -263,7 +318,8 @@ def blend_forward(
             _forward_kernel, grid_w=grid_w, tile_h=tile_h, tile_w=tile_w
         ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, FROWS, p), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, OUT_ROWS, p), jnp.float32)],
         interpret=interpret,
     )(tile_starts, tile_map.astype(jnp.int32), feat_packed)[0]
 
@@ -319,7 +375,8 @@ def _backward_kernel(
     # Chunks entirely past the tile's last contributor have zero gradient
     # everywhere (forward saturation stopped before them): straight zero-fill,
     # no feature read, no replay — the mirror of the forward early exit.
-    # n_contrib is 1-based within the segment; map back to chunk indices.
+    # n_contrib counts included positions in the segment (r5), so the last
+    # included 0-based position is ncm - 1.
     ncm = jnp.max(nc).astype(jnp.int32)
     nchunks_live = jnp.where(
         ncm > 0, (start + ncm - 1) // CHUNK - chunk0 + 1, 0
@@ -336,11 +393,6 @@ def _backward_kernel(
     # summation as the direct reduction, no rearrangement, bit-safe.)
     d3 = jnp.transpose(
         jnp.concatenate([dc_r, dc_g, dc_b], axis=1), (1, 0))  # (3, P)
-
-    # Strictly-lower mask: suffix_ex = uw @ M, M[h, g] = 1 iff h > g.
-    hh = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    gg = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    suffix_mask = (hh > gg).astype(jnp.float32)
 
     def get_read(slot, k):
         return pltpu.make_async_copy(
@@ -394,7 +446,8 @@ def _backward_kernel(
 
         t_after, q_carry = carry  # (P,1): T after this chunk; sum of u*w after
         f = buf[slot]
-        dx, dy, ca, cb, cc, gv, og, alpha, ok = _alpha_terms(f, px, py, t_f32)
+        dx, dy, ca, cb, cc, gv, og, alpha, ok, _mine = _alpha_terms(
+            f, px, py, t_f32)
         # 0-based index within the segment (n_contrib gates the stopped tail).
         idxv = ((chunk0 + k) * CHUNK + lane - start).astype(jnp.float32)
         applied = ok & (idxv < nc)
@@ -406,17 +459,22 @@ def _backward_kernel(
         t_g = t_start * _shift_lanes(cum, 1, 1.0)  # T before gaussian g
         w = a_m * t_g
 
-        cr = f[F_R : F_R + 1, :]
-        cg = f[F_G : F_G + 1, :]
-        cbl = f[F_B : F_B + 1, :]
-        u = dc_r * cr + dc_g * cg + dc_b * cbl  # (P, 128)
+        # u = dc . color per (pixel, gaussian): one small MXU contraction of
+        # the (3, P) cotangent basis against the 3 rgb rows (r5; was 5
+        # full-tile VPU ops).
+        u = jax.lax.dot_general(
+            d3, f[F_R : F_B + 1, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )  # (P, 128)
         uw = u * w
         # dC/dalpha_i = T_i (c_i - S_i) with S the suffix blend; in closed
-        # form T_g·(dc·S) = (Σ_{h>g} u_h w_h) / (1 - a_g)  — one MXU matmul.
-        suffix = jax.lax.dot_general(
-            uw, suffix_mask, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
+        # form T_g·(dc·S) = (Σ_{h>g} u_h w_h) / (1 - a_g). r5: a 7-step
+        # Hillis-Steele suffix scan along lanes (exact f32 adds) replaces
+        # the r2-r4 (128,128) strictly-lower-mask MXU matmul — at HIGHEST
+        # precision that matmul cost as much as the whole chunk's VPU work.
+        # Its first lane is the chunk total, feeding q_carry for free.
+        s_inc = _suffix_sum_lanes(uw)  # inclusive: lane l = sum_{h >= l}
+        suffix = _shift_lanes_left(s_inc, 1, 0.0)  # exclusive
         dalpha = t_g * u - (suffix + q_carry + dft_ft) / om
         dalpha = jnp.where(applied, dalpha, 0.0)
         # alpha = min(0.99, o·G): clamped branch has zero gradient.
@@ -464,7 +522,7 @@ def _backward_kernel(
         wdma.start()
         wdma.wait()
 
-        q_carry = q_carry + jnp.sum(uw, axis=1, keepdims=True)
+        q_carry = q_carry + s_inc[:, 0:1]
         return t_start, q_carry
 
     init = (final_t, jnp.zeros((p, 1), jnp.float32))

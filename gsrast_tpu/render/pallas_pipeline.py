@@ -280,8 +280,9 @@ def _blend(feat_packed, tile_starts, tile_map, grid_h, grid_w, tile_h,
         feat_packed, tile_starts, grid_h, grid_w, tile_h, tile_w, interpret,
         num_tiles=num_tiles, tile_map=tile_map,
     )
-    # Channel-first (T, 3, P): a (T, P, 3) slice would pad its minor dim
-    # 3 -> 128 lanes in HBM (42x allocation; OOMs 4K).
+    # Channel-first (T, 3, P) slice of the (T, 8, P) kernel output: a
+    # (T, P, 3) layout would pad its minor dim 3 -> 128 lanes in HBM (42x
+    # allocation; OOMs 4K).
     rgb = out[:, pb.OC_R : pb.OC_B + 1, :]
     ft = out[:, pb.OC_FT, :]
     nc = out[:, pb.OC_NC, :].astype(jnp.int32)

@@ -146,10 +146,15 @@ def blend_sorted_xla(
         final_t = jnp.minimum(final_t, 1.0)
         rgb = rgb + final_t[..., None] * background[None, None, :]
 
-        kidx = jnp.arange(1, k_tile + 1, dtype=jnp.int32)[None, :, None]
-        n_contrib = jnp.max(
-            jnp.where(w > 0.0, kidx, 0), axis=1, initial=0
-        ).astype(jnp.int32)
+        # n_contrib (r5 definition, shared by every backend): the count of
+        # blend positions before saturation — include=True positions within
+        # the tile's real segment. The reference reports the last position
+        # with a nonzero contribution instead (GSCuda.cu:671); the count is
+        # what the backward replay gate needs and is computable without a
+        # lane reduction in the Pallas fast path (pallas_blend.py).
+        n_contrib = jnp.sum(
+            (include & in_range[..., None]).astype(jnp.int32), axis=1
+        )
         return rgb, final_t, n_contrib
 
     tiles_rgb, final_t, n_contrib = jax.lax.map(
@@ -215,7 +220,13 @@ def render_tiled_xla(
             tile, jnp.arange(grid_h * grid_w + 1, dtype=jnp.int32),
             side="left").astype(jnp.int32)
         binning = binning_ops.Binning(
-            sorted_tile=tile, sorted_gauss=sgauss, sorted_slot=plan.slot,
+            # sorted_slot is NOT the per-sorted-position slot payload on this
+            # path (the fused sort was not run with it); blend_tiles_xla
+            # never reads it, so store an explicitly empty array rather than
+            # an identity iota a future consumer could mistake for the real
+            # permutation (ADVICE r4).
+            sorted_tile=tile, sorted_gauss=sgauss,
+            sorted_slot=jnp.zeros((0,), jnp.int32),
             heavy_idx=jnp.zeros((0,), jnp.int32), tile_starts=tile_starts,
             num_intersections=plan.total,
             overflow_capacity=jnp.int32(0),
