@@ -26,29 +26,25 @@ def enable_compile_cache() -> None:
 
 
 def bench_config(backend: str):
-    """THE benchmark RenderConfig. Single source of truth for every harness
-    (bench.py, the CLI bench table, profile scripts)."""
+    """THE benchmark base RenderConfig. Single source of truth for every
+    harness (bench.py, the CLI bench table, profile scripts). Tile shape
+    from the r5 sweep (scripts/tile_sweep.py, asymmetric rects + auto
+    tiers at 1M/1080p): 16x32 260 ms vs 8x64 280, 8x32 297, 16x16 297,
+    4x32 430 — square-ish tiles minimize tiles/gaussian, which the fused
+    sort (row-count-bound) and the blend (chunk-visit-bound) both pay for.
+    The tier spec is NOT hardcoded here: every bench derives it from the
+    scene's measured count distribution via the product auto-config
+    (render/api.py auto_render_config), same as `gsrast_tpu render/train`."""
     from . import config as cfg
 
     return cfg.RenderConfig(
         backend=backend,
-        # Tuned on TPU by sweep (scripts/exp_bench.py, r3): the blend is
-        # VPU-bound proportional to pixels-per-tile x chunk-visits, so the
-        # 8x64 tile beats 8x128 (857 ms vs 963 at 1M/1080p) while keeping
-        # per-gaussian tile counts within K=16 and zero counted overflow
-        # (true totals: 4.55M intersections, max 16 tiles/gaussian —
-        # scripts/scene_stats.py).
-        tile_h=8,
-        tile_w=64,
+        tile_h=16,
+        tile_w=32,
         intersect_capacity_factor=5.0,
         max_per_tile=4096,
         tile_chunk=8,
         max_tiles_per_gaussian=16,
-        # r4 fused multi-tier binning, sized to the bench scene's measured
-        # count distribution (frac >2/.893, >3/.556, >4/.343, >6/.166,
-        # >8/.061, max 16) with ~6% budget headroom; zero counted overflow.
-        tiers=((2, 1.0), (3, 0.94), (4, 0.59), (6, 0.37), (8, 0.18),
-               (16, 0.065)),
     )
 
 
@@ -126,24 +122,23 @@ def run_bench(n: int, width: int, height: int, backend: str,
     rcfg = bench_config(backend)
     if scene is None:
         scene, camera = bench_scene_camera(n, width, height)
-        if cfg_overrides:
-            rcfg = rcfg.replace(**cfg_overrides)
     else:
         # Trained scenes carry radius/count skew the random bench scene
-        # lacks: derive the tier spec from THIS scene's measured tile-count
-        # distribution via the PRODUCT's own auto-config (render/api.py
-        # auto_render_config — the same path `gsrast_tpu render/train` run,
-        # VERDICT r4 #3) instead of hand-picked knobs.
+        # lacks; they also need a larger legacy-capacity fallback.
         cfg_overrides.setdefault("intersect_capacity_factor",
                                  max(64.0, 8e6 / max(n, 1)))
-        auto = "tiers" not in cfg_overrides
-        auto_w = auto and "tile_w" not in cfg_overrides
-        rcfg = rcfg.replace(**cfg_overrides)
-        if auto:
-            from .render.api import auto_render_config
+    # EVERY bench (random or trained scene) derives its tier spec from the
+    # scene's measured tile-count distribution via the PRODUCT's own
+    # auto-config (render/api.py auto_render_config — the same path
+    # `gsrast_tpu render/train` runs, VERDICT r4 #3): no hand-picked knobs.
+    auto = "tiers" not in cfg_overrides
+    auto_w = auto and "tile_w" not in cfg_overrides
+    rcfg = rcfg.replace(**cfg_overrides)
+    if auto:
+        from .render.api import auto_render_config
 
-            rcfg = auto_render_config(
-                scene, camera, backend, base=rcfg, auto_tile_w=auto_w)
+        rcfg = auto_render_config(
+            scene, camera, backend, base=rcfg, auto_tile_w=auto_w)
     params, mask = split_params(scene)
 
     # mask/camera enter as ARGUMENTS, not closure constants: lowering a
@@ -194,10 +189,11 @@ def stage_table(n: int, width: int, height: int, backend: str,
     from .ops import binning as binning_ops
     from .ops.preprocess import preprocess
     from .render import pallas_pipeline as pp
-    from .render.api import render
+    from .render.api import auto_render_config, render
 
-    rcfg = bench_config(backend)
     scene, camera = bench_scene_camera(n, width, height)
+    rcfg = auto_render_config(
+        scene, camera, backend, base=bench_config(backend))
     act = scene.activated()
     grid_h, grid_w = rcfg.grid_shape(camera.height, camera.width)
     capacity = rcfg.capacity(n)

@@ -255,6 +255,8 @@ def plan_tiers(
     num_local_rows: int | None = None,
     row0=0,
     row_stride: int = 1,
+    dest_rows: int | None = None,
+    n_dest: int = 1,
 ) -> TierPlan:
     """Multi-tier slot-grid structure for the fused sort-pack path.
 
@@ -263,9 +265,23 @@ def plan_tiers(
     count-descending ranking of the gaussians, sizing the total slot count S
     near the true intersection count (the sort and the VJP's routing sort are
     row-count-bound on TPU). Returns only structure — the feature payloads
-    ride the big sort itself (render/pallas_pipeline.fused_pack)."""
+    ride the big sort itself (render/pallas_pipeline.fused_pack).
+
+    `dest_rows`/`n_dest` (r5): primitive-sharded routing mode. Tile keys
+    become DEST-PREFIXED route keys `(gy // dest_rows) << ltile_bits | local
+    tile on that device` (contiguous row ownership, `dest_rows` rows per
+    device), so the primitive-sharded exchange groups slots by destination
+    device AND orders them with the SAME one sort — replacing the
+    searchsorted expansion the repo's own measurements rate ~5M queries/s
+    (VERDICT r4 #5). Sentinel = n_dest << ltile_bits."""
     tiers = render_cfg.tiers
     assert tiers, "plan_tiers requires cfg.tiers"
+    if dest_rows is not None:
+        assert num_local_rows in (None, grid_h) and row_stride == 1, (
+            "routing mode enumerates the FULL grid")
+        ltile_bits = (dest_rows * grid_w + 1).bit_length()
+        assert (n_dest << ltile_bits) < (1 << 31), (
+            f"{n_dest} devices x {ltile_bits} tile bits overflow int32")
     # The f32-reciprocal floor trick below needs the f32 relative error
     # (~1.2e-7) to stay under the 1/(2*rw) floor-boundary margin:
     # k_last * grid_w must stay well below ~4e6 (ADVICE r4). Today's largest
@@ -280,6 +296,8 @@ def plan_tiers(
         row0 = 0
     row0 = jnp.asarray(row0, jnp.int32)
     num_tiles = num_local_rows * grid_w
+    sentinel = (num_tiles if dest_rows is None
+                else jnp.int32(n_dest << ltile_bits))
     k_last = tiers[-1][0]
 
     rect = prep.rect
@@ -343,7 +361,15 @@ def plan_tiers(
         ly = r_rho0[None, :b_j] + ry                    # local tile row
         gy = row0 + ly * row_stride                     # global tile row
         gx = r_xmin[None, :b_j] + rx
-        local = ly * grid_w + gx
+        if dest_rows is None:
+            local = ly * grid_w + gx
+        else:
+            # Route key: destination device (contiguous-row ownership) in
+            # the high bits, that device's LOCAL tile id in the low bits.
+            # dest_rows is static, so the division is a multiply-shift.
+            dest = gy // dest_rows
+            local = (dest << ltile_bits) | (
+                (gy - dest * dest_rows) * grid_w + gx)
         valid = ks < r_counts[None, :b_j]
         if j > 0:
             px_lo = gx.astype(jnp.float32) * tw_px
@@ -359,7 +385,7 @@ def plan_tiers(
             granted_k = jnp.where((rank < b_j) & (r_counts > k_lo),
                                   k_j, granted_k)
         tkeys.append(jnp.where(
-            valid, local, num_tiles).reshape(-1))
+            valid, local, sentinel).reshape(-1))
         gausses.append(
             jnp.broadcast_to(order[None, :b_j], (w_j, b_j)).reshape(-1))
         k_lo = k_j
@@ -375,12 +401,12 @@ def plan_tiers(
     if s > s0:
         pad = s - s0
         tile_key = jnp.concatenate(
-            [tile_key, jnp.full((pad,), num_tiles, jnp.int32)])
+            [tile_key, jnp.full((pad,), sentinel, jnp.int32)])
         depth_key = jnp.concatenate([depth_key, jnp.zeros((pad,), jnp.int32)])
         gauss = jnp.concatenate([gauss, jnp.full((pad,), -1, jnp.int32)])
     slot = jnp.arange(s, dtype=jnp.int32)
 
-    live = tile_key != num_tiles
+    live = tile_key != sentinel
     total = jnp.sum(live, dtype=jnp.int32)
     dropped = jnp.sum(counts_full - counts) + jnp.sum(
         jnp.maximum(jnp.minimum(r_counts, k_last) - granted_k, 0))

@@ -73,14 +73,21 @@ def tile_rect(
     grid_w: int,
     tile_h: int,
     tile_w: int,
+    radius_y: jax.Array | None = None,
 ) -> TileRect:
-    """Covered tile rectangle for a splat of `radius` pixels centered at
-    mean2d (reference getRect, GSCuda.cu:237-259)."""
+    """Covered tile rectangle for a splat extending `radius` pixels in x and
+    `radius_y` (default: `radius`) in y, centered at mean2d (reference
+    getRect, GSCuda.cu:237-259; the reference also has an asymmetric
+    per-axis rect path at GSCuda.cu:352-354 — per-axis extents are the tight
+    axis-aligned bound of the support ellipse, a large cut for the elongated
+    splats trained scenes are full of)."""
+    if radius_y is None:
+        radius_y = radius
     px, py = mean2d[..., 0], mean2d[..., 1]
     x_min = jnp.clip(((px - radius) / tile_w).astype(jnp.int32), 0, grid_w)
-    y_min = jnp.clip(((py - radius) / tile_h).astype(jnp.int32), 0, grid_h)
+    y_min = jnp.clip(((py - radius_y) / tile_h).astype(jnp.int32), 0, grid_h)
     x_max = jnp.clip(jnp.ceil((px + radius + 1.0) / tile_w).astype(jnp.int32), 0, grid_w)
-    y_max = jnp.clip(jnp.ceil((py + radius + 1.0) / tile_h).astype(jnp.int32), 0, grid_h)
+    y_max = jnp.clip(jnp.ceil((py + radius_y + 1.0) / tile_h).astype(jnp.int32), 0, grid_h)
     return TileRect(x_min, y_min, x_max, y_max)
 
 

@@ -371,27 +371,40 @@ def render_primitive_sharded(
         sprep = jax.lax.stop_gradient(prep)
 
         # --- 2. intersection slots with routing keys (structure: no grad) --
-        depth_q = projection.depth_order_key(sprep.depth)  # (nl,) full bits
-        rect = sprep.rect
-        rw_safe = jnp.maximum(rect.x_max - rect.x_min, 1)
-        gi, k, _offsets, total = binning_ops.expand_intersections(
-            sprep.tiles_touched, c_exp
-        )
-        valid = jnp.arange(c_exp, dtype=jnp.int32) < total
-        ovf_expand = jnp.maximum(total - c_exp, 0)
-        ry = k // rw_safe[gi]
-        rx = k - ry * rw_safe[gi]
-        y = rect.y_min[gi] + ry
-        x = rect.x_min[gi] + rx
-        dest = y // rpd
-        ltile = (y - dest * rpd) * grid_w + x
-        route = jnp.where(valid, (dest << ltile_bits) | ltile, imax)
-        dkey = jnp.where(valid, depth_q[gi], 0)
+        if render_cfg.tiers:
+            # r5 (VERDICT r4 #5): the multi-tier slot grid with
+            # DEST-PREFIXED route keys — the same elementwise grid + ONE
+            # 2-key sort that makes the single-chip fused path TPU-speed,
+            # replacing the searchsorted expansion (~5M queries/s by the
+            # repo's own measurement, ~1 s of binning per device at 1M+).
+            plan = binning_ops.plan_tiers(
+                sprep, grid_h, grid_w, render_cfg, dest_rows=rpd,
+                n_dest=n_dev)
+            route, dkey, gauss_slot = plan.tile_key, plan.depth_key, plan.gauss
+            total = plan.total
+            ovf_expand = plan.overflow_tile_cap  # k_last-cap drops (counted)
+        else:
+            depth_q = projection.depth_order_key(sprep.depth)  # full bits
+            rect = sprep.rect
+            rw_safe = jnp.maximum(rect.x_max - rect.x_min, 1)
+            gi, k, _offsets, total = binning_ops.expand_intersections(
+                sprep.tiles_touched, c_exp
+            )
+            valid = jnp.arange(c_exp, dtype=jnp.int32) < total
+            ovf_expand = jnp.maximum(total - c_exp, 0)
+            ry = k // rw_safe[gi]
+            rx = k - ry * rw_safe[gi]
+            y = rect.y_min[gi] + ry
+            x = rect.x_min[gi] + rx
+            dest = y // rpd
+            ltile = (y - dest * rpd) * grid_w + x
+            route = jnp.where(valid, (dest << ltile_bits) | ltile, imax)
+            dkey = jnp.where(valid, depth_q[gi], 0)
+            gauss_slot = jnp.where(valid, gi, -1)
 
         # --- 3. group by destination: one 2-key sort + fixed-buffer gather -
-        slot = jnp.arange(c_exp, dtype=jnp.int32)
-        sroute, sdkey, sslot = jax.lax.sort(
-            (route, dkey, slot), num_keys=2, is_stable=True)
+        sroute, sdkey, sgauss = jax.lax.sort(
+            (route, dkey, gauss_slot), num_keys=2, is_stable=True)
         sdest = jnp.minimum(sroute >> ltile_bits, n_dev)
         dest_starts = jnp.searchsorted(
             sdest, jnp.arange(n_dev + 1, dtype=jnp.int32), side="left"
@@ -403,9 +416,11 @@ def render_primitive_sharded(
         ok = idx < dest_starts[1:, None]
         idx_c = jnp.minimum(idx, sroute.shape[0] - 1)
         lkey_mask = (1 << ltile_bits) - 1
+        src_gauss = sgauss[idx_c]  # (D, Cs) local gaussian; -1 dead
+        ok = ok & (src_gauss >= 0)
+        src_gauss = jnp.maximum(src_gauss, 0)
         send_key = jnp.where(ok, sroute[idx_c] & lkey_mask, imax)
         send_depth = jnp.where(ok, sdkey[idx_c], 0)
-        src_gauss = gi[sslot[idx_c]]  # local gaussian per send row
         send_gid = jnp.where(ok, d * nl + src_gauss, -1)
 
         feat_n = jnp.concatenate(

@@ -51,14 +51,14 @@ def auto_render_config(
     """THE product-default RenderConfig for (scene, camera): the fused
     multi-tier pipeline with its binning spec derived from the scene's own
     measured tile-count distribution (one preprocess pass ->
-    ops.binning.auto_tiers), and the tile width picked by the measured
-    big-splat heuristic (mean tiles/gaussian > 8 -> 128-wide tiles; 922 vs
-    1125 ms on the trained-1M scene at 1080p). This is what
-    `python -m gsrast_tpu render/train` runs — no hand-set K knobs anywhere
-    in the user-facing flows (VERDICT r4 #3). `margin` is budget headroom
-    for view/scene drift (training passes a larger one because
-    densification reshapes the count distribution); overflow beyond it is
-    counted in RenderStats, never silent."""
+    ops.binning.auto_tiers), and the tile shape picked by the big-splat
+    heuristic (mean tiles/gaussian > 8 -> double the tile width, halving
+    big-rect tile counts). This is what `python -m gsrast_tpu render/train`
+    runs — no hand-set K knobs anywhere in the user-facing flows (VERDICT
+    r4 #3). `margin` is budget headroom for view/scene drift (training
+    passes a larger one because densification reshapes the count
+    distribution); overflow beyond it is counted in RenderStats, never
+    silent."""
     import jax
     import numpy as np
 
@@ -67,13 +67,19 @@ def auto_render_config(
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     rcfg = base if base is not None else cfg.RenderConfig()
+    if base is None:
+        # r5 sweep default (scripts/tile_sweep.py, 1M/1080p per-dispatch):
+        # 16x32 260 ms vs 8x64 280, 8x32/16x16 297, 4x32 430 — square-ish
+        # tiles minimize tiles/gaussian, the knob both the row-count-bound
+        # fused sort and the chunk-visit-bound blend pay for.
+        rcfg = rcfg.replace(tile_h=16, tile_w=32)
     # Legacy-path knobs stay as counted fallbacks for cfg.tiers=() callers.
     rcfg = rcfg.replace(
         backend=backend, max_tiles_per_gaussian=512, heavy_fraction=0.5)
     counts = scene_tile_counts(scene, camera, rcfg)
     mean_c = float(counts.mean()) if counts.size else 0.0
     if auto_tile_w and mean_c > 8.0 and rcfg.tile_w < 128:
-        rcfg = rcfg.replace(tile_w=128)
+        rcfg = rcfg.replace(tile_w=rcfg.tile_w * 2)
         counts = scene_tile_counts(scene, camera, rcfg)
     return rcfg.replace(
         tiers=binning_ops.auto_tiers(np.asarray(counts), margin=margin))

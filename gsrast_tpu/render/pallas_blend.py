@@ -51,10 +51,11 @@ Layout (the round-2 redesign: zero scalar reads, MXU for the reductions):
     paths (render/tiled.py, render/dense.py) use the same r5 definition so
     every backend stays bit-identical.
   * The backward's per-gaussian suffix sums (the Inria reverse recurrence)
-    are a 7-step Hillis-Steele suffix scan along lanes (r5; r2-r4 used a
-    masked 128x128 MXU matmul — at fp32-HIGHEST that one matmul cost ~as
-    much as all the chunk's VPU work), whose first lane also yields the
-    chunk total that feeds the reverse carry for free.
+    are ONE strictly-lower-mask 128x128 MXU matmul per chunk; a 7-step
+    Hillis-Steele lane suffix scan was A/B-measured against it in r5
+    (GSRAST_SUFFIX_MATMUL=0) and LOST by ~10 ms/step at 1M/1080p — lane
+    shifts lower to concat copies on Mosaic, and 21 full-tile VPU ops cost
+    more than the matmul's 6 passes. exact f32 adds either way.
   * CUDA shared-memory staging of 256 gaussians (GSCuda.cu:576-614) maps to
     double-buffered async DMA of (16, 128) chunks, overlapped with compute;
     per-pixel early termination (GSCuda.cu:652-658) maps to a per-tile chunk
@@ -70,6 +71,7 @@ Blend math (identical semantics to GSCuda.cu:634-676):
 from __future__ import annotations
 
 import functools
+import os
 
 
 import jax
@@ -95,6 +97,9 @@ OC_FT = 3   # final transmittance
 OC_NC = 4   # n_contrib as f32 (exact below 2^24)
 
 _HI = jax.lax.Precision.HIGHEST
+# Temporary A/B switch for the backward suffix-sum implementation
+# (Hillis-Steele lane scan vs strictly-lower-mask MXU matmul).
+_SUFFIX_MATMUL = os.environ.get("GSRAST_SUFFIX_MATMUL", "1") == "1"
 
 
 def _pixel_coords(ty, tx, tile_h: int, tile_w: int):
@@ -199,57 +204,36 @@ def _forward_kernel(
         get_dma(0, 0).start()
 
     def live_body(k, slot, carry):
+        # One unconditional masked path. (A fast/slow per-chunk lax.cond —
+        # cheap branch with no include mask when no pixel's transmittance
+        # crosses in the chunk — was tried in the first r5 cut and REVERTED:
+        # measured fwd went 58 -> 62 ms; the predicate reduce + duplicated
+        # branch bodies cost more than the ~9 masked ops they saved.)
         t_carry, acc3, ft, nc = carry
         f = buf[slot]  # (FROWS, 128)
         _, _, _, _, _, _, _, alpha, ok, mine = _alpha_terms(f, px, py, t_f32)
         a_eff = jnp.where(ok, alpha, 0.0)
         cum = _cumprod_lanes(1.0 - a_eff)  # inclusive (P, 128)
         t_before = t_carry * _shift_lanes(cum, 1, 1.0)
+        test_t = t_carry * cum
+        # include = P_i >= T_min is monotone along lanes; already-saturated
+        # pixels have include all-False, so their ft/nc stay frozen.
+        include = test_t >= cfg.TRANSMITTANCE_MIN
+        w = jnp.where(include, a_eff * t_before, 0.0)
+        # The THREE rgb rows only: f[6:9] (3, 128) @ w^T (128, P).
+        acc3 = acc3 + jax.lax.dot_general(
+            f[F_R : F_B + 1, :], w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        ft = jnp.minimum(
+            ft,
+            jnp.min(jnp.where(include, test_t, 2.0), axis=1, keepdims=True),
+        )
+        nc = nc + jnp.sum(
+            jnp.where(include & mine, 1.0, 0.0), axis=1, keepdims=True)
         # cum is monotone non-increasing: its last lane is the full product.
         t_exit = t_carry * cum[:, CHUNK - 1 :]
-        base = (chunk0 + k) * CHUNK
-        # Lanes of this chunk belonging to the tile's own segment (scalar).
-        nlanes = (
-            jnp.minimum(end, base + CHUNK) - jnp.maximum(start, base)
-        ).astype(jnp.float32)
-
-        def add_rgb(acc3, w):
-            # The THREE rgb rows only: f[6:9] (3, 128) @ w^T (128, P).
-            return acc3 + jax.lax.dot_general(
-                f[F_R : F_B + 1, :], w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_HI,
-            )
-
-        def cheap(c):
-            # No pixel's transmittance crosses TRANSMITTANCE_MIN in this
-            # chunk: every in-segment lane is included for every pixel, so
-            # the include mask is a constant, final_T is just the exit
-            # transmittance, and n_contrib advances by the scalar segment
-            # lane count.
-            _t, acc3, _ft, nc = c
-            w = a_eff * t_before
-            return t_exit, add_rgb(acc3, w), t_exit, nc + nlanes
-
-        def rare(c):
-            # Some pixel crosses inside this chunk (or crossed earlier):
-            # full masked path. include = P_i >= T_min is monotone along
-            # lanes; already-saturated pixels have include all-False, so
-            # their ft/nc stay frozen.
-            _t, acc3, ft, nc = c
-            test_t = t_carry * cum
-            include = test_t >= cfg.TRANSMITTANCE_MIN
-            w = jnp.where(include, a_eff * t_before, 0.0)
-            ft = jnp.minimum(
-                ft,
-                jnp.min(jnp.where(include, test_t, 2.0), axis=1,
-                        keepdims=True),
-            )
-            nc = nc + jnp.sum(
-                jnp.where(include & mine, 1.0, 0.0), axis=1, keepdims=True)
-            return t_exit, add_rgb(acc3, w), ft, nc
-
-        crossed = jnp.min(t_exit) < cfg.TRANSMITTANCE_MIN
-        return jax.lax.cond(crossed, rare, cheap, carry)
+        return t_exit, acc3, ft, nc
 
     def chunk_body(k, carry):
         # Keep the DMA pipeline moving even for saturated tiles so the
@@ -459,12 +443,15 @@ def _backward_kernel(
         t_g = t_start * _shift_lanes(cum, 1, 1.0)  # T before gaussian g
         w = a_m * t_g
 
-        # u = dc . color per (pixel, gaussian): one small MXU contraction of
-        # the (3, P) cotangent basis against the 3 rgb rows (r5; was 5
-        # full-tile VPU ops).
-        u = jax.lax.dot_general(
-            d3, f[F_R : F_B + 1, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
+        # u = dc . color per (pixel, gaussian): 5 broadcast VPU ops. (An MXU
+        # contraction of the (3, P) cotangent basis against the rgb rows was
+        # tried in the first r5 cut and REVERTED: K=3 at HIGHEST precision
+        # issues the same 24 MXU passes as a full 128-K matmul, and the
+        # measured bwd went 85 -> 98 ms.)
+        u = (
+            dc_r * f[F_R : F_R + 1, :]
+            + dc_g * f[F_G : F_G + 1, :]
+            + dc_b * f[F_B : F_B + 1, :]
         )  # (P, 128)
         uw = u * w
         # dC/dalpha_i = T_i (c_i - S_i) with S the suffix blend; in closed
@@ -473,8 +460,18 @@ def _backward_kernel(
         # the r2-r4 (128,128) strictly-lower-mask MXU matmul — at HIGHEST
         # precision that matmul cost as much as the whole chunk's VPU work.
         # Its first lane is the chunk total, feeding q_carry for free.
-        s_inc = _suffix_sum_lanes(uw)  # inclusive: lane l = sum_{h >= l}
-        suffix = _shift_lanes_left(s_inc, 1, 0.0)  # exclusive
+        if _SUFFIX_MATMUL:
+            hh = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+            gg = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+            suffix = jax.lax.dot_general(
+                uw, (hh > gg).astype(jnp.float32), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+            chunk_tot = suffix[:, 0:1] + uw[:, 0:1]
+        else:
+            s_inc = _suffix_sum_lanes(uw)  # inclusive: lane l = sum_{h >= l}
+            suffix = _shift_lanes_left(s_inc, 1, 0.0)  # exclusive
+            chunk_tot = s_inc[:, 0:1]
         dalpha = t_g * u - (suffix + q_carry + dft_ft) / om
         dalpha = jnp.where(applied, dalpha, 0.0)
         # alpha = min(0.99, o·G): clamped branch has zero gradient.
@@ -522,7 +519,7 @@ def _backward_kernel(
         wdma.start()
         wdma.wait()
 
-        q_carry = q_carry + s_inc[:, 0:1]
+        q_carry = q_carry + chunk_tot
         return t_start, q_carry
 
     init = (final_t, jnp.zeros((p, 1), jnp.float32))

@@ -221,11 +221,16 @@ class TestPrimitiveSharded:
             np.asarray(g_sh), np.asarray(g_ref), atol=5e-4, rtol=1e-3
         )
 
-    def test_send_overflow_counted(self, scene):
-        """Tiny send buffers must COUNT drops, never silently truncate."""
+    def test_send_overflow_counted(self):
+        """Tiny send buffers must COUNT drops, never silently truncate.
+        (Dense, high-opacity scene: the r5 per-axis opacity-aware rects
+        shrank the module fixture's intersections below one 128-row send
+        buffer.)"""
         camera = make_camera()
         mesh = make_mesh((1, 2), jax.devices()[:2])
-        act = pad_gaussians(scene.activated(), 2)
+        dense = random_scene(jax.random.PRNGKey(7), 2048, sh_degree=1,
+                             scale_range=(0.05, 0.15))
+        act = pad_gaussians(dense.activated(), 2)
         out = jax.jit(
             lambda a: render_primitive_sharded(
                 a, camera, CFG, mesh, send_capacity=128

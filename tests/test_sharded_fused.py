@@ -13,6 +13,8 @@ from gsrast_tpu.camera import look_at
 from gsrast_tpu.ops.binning import shard_tiers, tier_dims
 from gsrast_tpu.parallel.mesh import make_mesh
 from gsrast_tpu.parallel.sharded import (make_sharded_train_step,
+                                         pad_gaussians,
+                                         render_primitive_sharded,
                                          render_tile_sharded)
 from gsrast_tpu.scene.gaussians import split_params
 
@@ -117,6 +119,70 @@ class TestFusedTileSharded:
         np.testing.assert_allclose(
             np.asarray(out.image), np.asarray(ref.image), atol=2e-5)
 
+class TestFusedPrimitiveSharded:
+    """r5 (VERDICT r4 #5): the primitive-sharded exchange binned by the
+    multi-tier route grid (dest-prefixed keys, ONE 2-key sort) instead of
+    the searchsorted expansion."""
+
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_matches_single_device(self, scene, backend):
+        camera = make_camera()
+        mesh = make_mesh((1, 4), jax.devices()[:4])
+        act = pad_gaussians(scene.activated(), 4)
+        ref = render(scene.activated(), camera, CFG)
+        out = jax.jit(
+            lambda a: render_primitive_sharded(
+                a, camera, CFG, mesh, backend=backend, send_capacity=4096)
+        )(act)
+        assert int(out.stats["overflow_send"]) == 0
+        assert int(out.stats["overflow_capacity"]) == 0  # k_last-cap drops
+        np.testing.assert_allclose(
+            np.asarray(out.image), np.asarray(ref.image), atol=2e-5)
+
+    def test_gradients_match_single_device(self, scene):
+        camera = make_camera()
+        mesh = make_mesh((1, 4), jax.devices()[:4])
+        act = pad_gaussians(scene.activated(), 4)
+
+        def loss_sharded(means):
+            a = act.replace(means=means)
+            return jnp.sum(render_primitive_sharded(
+                a, camera, CFG, mesh, backend="pallas",
+                send_capacity=4096).image)
+
+        def loss_ref(means):
+            a = act.replace(means=means)
+            return jnp.sum(render(a, camera, CFG).image)
+
+        g_sh = jax.jit(jax.grad(loss_sharded))(act.means)
+        g_ref = jax.jit(jax.grad(loss_ref))(act.means)
+        np.testing.assert_allclose(
+            np.asarray(g_sh), np.asarray(g_ref), atol=2e-4, rtol=1e-4)
+
+    def test_skewed_send_overflow_counted(self, scene):
+        """Corner-concentrated scene: with headroom the tier-grid exchange
+        is exact; with a tight send buffer it counts drops, never silent."""
+        s = scene.replace(means=scene.means * 0.12
+                          + jnp.array([-0.9, -0.35, 0.0]))
+        camera = make_camera()
+        mesh = make_mesh((1, 4), jax.devices()[:4])
+        act = pad_gaussians(s.activated(), 4)
+        ref = render(s.activated(), camera, CFG)
+        out = jax.jit(
+            lambda a: render_primitive_sharded(
+                a, camera, CFG, mesh, backend="pallas", send_capacity=8192)
+        )(act)
+        assert int(out.stats["overflow_send"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(out.image), np.asarray(ref.image), atol=2e-5)
+        tight = jax.jit(
+            lambda a: render_primitive_sharded(
+                a, camera, CFG, mesh, backend="pallas", send_capacity=128)
+        )(act)
+        assert int(tight.stats["overflow_send"]) > 0
+
+
+class TestTrainStepFused:
     def test_train_step_fused(self, scene):
         """DP x tile mesh with the fused local path: one step runs, loss
         finite, params move."""
