@@ -77,9 +77,18 @@ def main() -> None:
     if args.save_pose:
         PoseDB().save(args.save_pose, base)
 
-    cfg = RenderConfig(
-        backend="pallas" if jax.default_backend() == "tpu" else "xla"
-    )
+    if args.mode == "gaussians":
+        # Product auto-config: fused multi-tier pipeline, tiers derived from
+        # the scene's own count distribution (same path as the CLI).
+        from gsrast_tpu.render.api import auto_render_config
+
+        cfg = auto_render_config(
+            scene, base, "pallas" if jax.default_backend() == "tpu"
+            else "xla")
+    else:
+        cfg = RenderConfig(
+            backend="pallas" if jax.default_backend() == "tpu" else "xla"
+        )
     act = scene.activated()
 
     def draw(cam):

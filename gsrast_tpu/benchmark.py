@@ -182,18 +182,24 @@ def run_bench(n: int, width: int, height: int, backend: str,
 
 
 def stage_table(n: int, width: int, height: int, backend: str,
-                iters: int = 3) -> dict:
-    """Per-stage fwd+bwd decomposition at bench scale. Returns
-    {stage: ms}; stages nest (pack includes its gather, pack_blend includes
-    pack, full includes everything + untile/assembly)."""
+                iters: int = 3, scene=None, camera=None,
+                rcfg=None) -> dict:
+    """Per-stage fwd+bwd decomposition at bench scale (random scene by
+    default; pass scene/camera for a trained scene — VERDICT r4 #2 demands
+    trained-statistics stage tables). Returns {stage: ms}; stages nest
+    (pack includes its gather, pack_blend includes pack, full includes
+    everything + untile/assembly)."""
     from .ops import binning as binning_ops
     from .ops.preprocess import preprocess
     from .render import pallas_pipeline as pp
     from .render.api import auto_render_config, render
 
-    scene, camera = bench_scene_camera(n, width, height)
-    rcfg = auto_render_config(
-        scene, camera, backend, base=bench_config(backend))
+    if scene is None:
+        scene, camera = bench_scene_camera(n, width, height)
+    if rcfg is None:
+        rcfg = auto_render_config(
+            scene, camera, backend, base=bench_config(backend))
+    n = scene.means.shape[0]
     act = scene.activated()
     grid_h, grid_w = rcfg.grid_shape(camera.height, camera.width)
     capacity = rcfg.capacity(n)

@@ -383,9 +383,10 @@ def cmd_bench(argv) -> None:
         camera = auto_frame(mn, mx, args.width, args.height)
         args.n = scene.capacity
 
-    if not args.no_stages and scene is None:
+    if not args.no_stages:
         stages = benchmark.stage_table(
-            args.n, args.width, args.height, backend, iters=args.iters)
+            args.n, args.width, args.height, backend, iters=args.iters,
+            scene=scene, camera=camera)
         print(benchmark.format_stage_table(stages, args.width, args.height))
 
     best_ms, mpix_s = benchmark.run_bench(

@@ -225,11 +225,17 @@ def auto_tiers(counts, margin: float = 1.12, k0_max: int = 4,
     # frac(count > k) with headroom; budgets never below one lane row.
     frac = {k: min(1.0, float((counts > k).mean()) * margin + 128.0 / n)
             for k in [0] + cands}
+    # Tier 0 is budgeted too (r5): gaussians with count == 0 (culled /
+    # out-of-frustum — the majority in trained scenes at many views) get NO
+    # slots instead of k0 dead sentinel rows each; the count-descending
+    # ranking puts them last, so a frac(count > 0) budget covers every
+    # visible gaussian with `margin` headroom (drops counted, never silent).
+    f0 = frac[0]
     # dp over cut points: dp[i] = min slot volume covering counts <= cands[i]
     best = {}
     for i, ci in enumerate(cands):
         if ci <= k0_max:
-            best[i] = (ci * 1.0, [(ci, 1.0)])  # single tier-0 up to k0_max
+            best[i] = (ci * f0, [(ci, f0)])  # single tier-0 up to k0_max
         else:
             best[i] = (float("inf"), None)
         for j in range(i):
@@ -328,6 +334,11 @@ def plan_tiers(
 
     # ONE count-descending ranking; every structure field rides as payload
     # (sort cost is row-bound, payloads near-free). Stable -> deterministic.
+    # (On the sharded relevance-exchange path this runs over the COMPACTED
+    # relevant set — c_recv rows, falling with D — not all N; an
+    # approximately-pre-ranked variant that skipped this sort entirely was
+    # tried in r5 and reverted: rank misplacement at tier-budget boundaries
+    # dropped real tiles on skewed scenes.)
     idx = jnp.arange(n, dtype=jnp.int32)
     (_, order, r_xmin, r_rw, r_rho0, r_counts, r_depthq, r_mx, r_my,
      r_lam, r_thr) = jax.lax.sort(

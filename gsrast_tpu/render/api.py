@@ -78,9 +78,22 @@ def auto_render_config(
         backend=backend, max_tiles_per_gaussian=512, heavy_fraction=0.5)
     counts = scene_tile_counts(scene, camera, rcfg)
     mean_c = float(counts.mean()) if counts.size else 0.0
-    if auto_tile_w and mean_c > 8.0 and rcfg.tile_w < 128:
-        rcfg = rcfg.replace(tile_w=rcfg.tile_w * 2)
+    # Big-splat scenes (trained scenes grow splats spanning many tiles):
+    # keep doubling the tile AREA while the mean owned-tile count stays
+    # high — the fused sort is row-count-bound and rows scale with
+    # tiles/gaussian, while the blend's per-pair cost grows only mildly
+    # with P (r5: trained-1.1M at 1080p was ~65% pack-sort time at 16x32).
+    # P capped at 1024: the blend BACKWARD's VMEM working set is ~10 KB per
+    # pixel-row; P=2048 measured 20.7 MB against the 16 MB scoped-vmem
+    # limit (compile-time OOM on the real chip).
+    while (auto_tile_w and mean_c > 8.0
+           and rcfg.tile_h * rcfg.tile_w < 1024):
+        if rcfg.tile_w <= rcfg.tile_h * 2:
+            rcfg = rcfg.replace(tile_w=rcfg.tile_w * 2)
+        else:
+            rcfg = rcfg.replace(tile_h=rcfg.tile_h * 2)
         counts = scene_tile_counts(scene, camera, rcfg)
+        mean_c = float(counts.mean()) if counts.size else 0.0
     return rcfg.replace(
         tiers=binning_ops.auto_tiers(np.asarray(counts), margin=margin))
 

@@ -430,6 +430,15 @@ def _backward_kernel(
 
         t_after, q_carry = carry  # (P,1): T after this chunk; sum of u*w after
         f = buf[slot]
+        # Write pipelining (r5): obuf[slot] still has an in-flight DMA from
+        # chunk k+2 (same slot, started two iterations ago); wait for it
+        # only now, just before overwriting the buffer — the r2-r4 kernels
+        # start()+wait()ed every write synchronously, serializing ~1 us of
+        # DMA latency into every chunk of the reverse walk.
+        @pl.when(i >= 2)
+        def _():
+            get_write(slot, k + 2).wait()
+
         dx, dy, ca, cb, cc, gv, og, alpha, ok, _mine = _alpha_terms(
             f, px, py, t_f32)
         # 0-based index within the segment (n_contrib gates the stopped tail).
@@ -515,15 +524,24 @@ def _backward_kernel(
             rdma.wait()
             obuf[slot] = obuf[slot] + rbuf[:]
 
-        wdma = get_write(slot, k)
-        wdma.start()
-        wdma.wait()
+        get_write(slot, k).start()
 
         q_carry = q_carry + chunk_tot
         return t_start, q_carry
 
     init = (final_t, jnp.zeros((p, 1), jnp.float32))
     jax.lax.fori_loop(0, nchunks_live, chunk_body, init)
+
+    # Drain the last (up to two) in-flight writes — chunks 1 and 0, slots 1
+    # and 0 — so the NEXT grid step's shared-boundary read of dfeat_ref sees
+    # completed data (grid steps are sequential, DMAs are not).
+    @pl.when(nchunks_live >= 2)
+    def _():
+        get_write(1, 1).wait()
+
+    @pl.when(nchunks_live >= 1)
+    def _():
+        get_write(0, 0).wait()
 
 
 def blend_backward(

@@ -133,7 +133,10 @@ def feature_rows(prep) -> jax.Array:
 
 
 def _fused_pack_impl(feat_nt, tile_key, depth_key, slot, gauss, order,
-                     tiers, n, num_tiles):
+                     tiers, n, num_tiles, need_slot=True):
+    """`need_slot=False` (r5): pure-forward renders (the viewer path) drop
+    the slot payload from the sort — it exists only to route cotangents in
+    the VJP; sort cost is ~linear in operand count (BASELINE.md)."""
     del gauss  # structure-only; the oracle runs its own structure sort
     dims, _ = binning_ops.tier_dims(n, tiers)
     s = tile_key.shape[0]
@@ -153,14 +156,18 @@ def _fused_pack_impl(feat_nt, tile_key, depth_key, slot, gauss, order,
             [grid_feat, jnp.zeros((9, s - s0), grid_feat.dtype)], axis=1)
     # num_keys=2: (tile, FULL 32-bit depth) — the reference's 64-bit
     # tile|depth ordering exactly (GSCuda.cu:461-474); no quantized ties.
-    ops = (tile_key, depth_key, slot) + tuple(grid_feat[i] for i in range(9))
+    maybe_slot = (slot,) if need_slot else ()
+    ops = (tile_key, depth_key) + maybe_slot + tuple(
+        grid_feat[i] for i in range(9))
     out = jax.lax.sort(ops, dimension=0, num_keys=2, is_stable=True)
-    tile, sslot = out[0], out[2]
+    tile = out[0]
+    sslot = out[2] if need_slot else None
+    base = 3 if need_slot else 2
     tile_starts = jnp.searchsorted(
         tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     feat_packed = jnp.concatenate(
-        [jnp.stack(out[3:], axis=0),
+        [jnp.stack(out[base:], axis=0),
          jax.lax.stop_gradient(tile).astype(jnp.float32)[None, :],
          jnp.zeros((pb.FROWS - 10, s), jnp.float32)],
         axis=0,
@@ -196,7 +203,7 @@ def fused_pack(feat_nt, tile_key, depth_key, slot, gauss, order, tiers, n,
     and un-ranked by one more N-row sort."""
     feat_packed, tile_starts, _sslot = _fused_pack_impl(
         feat_nt, tile_key, depth_key, slot, gauss, order, tiers, n,
-        num_tiles)
+        num_tiles, need_slot=False)
     return feat_packed, tile_starts
 
 

@@ -58,30 +58,51 @@ def timeit(fn, *args, iters=3):
     return best
 
 
+def _exchange_setup(cfg, d, n_pad, interleave=True):
+    """Mirror render_tile_sharded's r5 tiers-branch statics: device-scaled
+    tier spec + relevance-exchange send budget."""
+    from gsrast_tpu.ops import binning as binning_ops
+
+    tiers_d = binning_ops.shard_tiers(cfg.tiers, d if interleave else 1)
+    if d > 1:
+        nl = n_pad // d
+        c_send = max(128, -(-min(nl, -(-6 * nl // d)) // 128) * 128)
+        tiers_d = tuple(
+            (k, min(1.0, f * n_pad / (d * c_send))) for k, f in tiers_d)
+    else:
+        c_send = None
+    return cfg.replace(tiers=tiers_d), c_send
+
+
 def stage_decomposition(act, camera, cfg, mesh, d, iters):
     """Per-stage fwd ms on the tile-sharded fused path at D devices: prep
-    (sharded preprocess incl. all_gather), binning (plan_tiers), pack (fused
-    sort-pack), blend. Stages are timed as growing prefixes of the shard_fn
-    under shard_map, so each includes its predecessors; the table reports
-    the diffs."""
+    (sharded preprocess + relevance exchange at d>1), binning (plan_tiers
+    over the received set), pack+blend. Stages are timed as growing
+    prefixes of the shard_fn under shard_map, so each includes its
+    predecessors; the table reports the diffs."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from gsrast_tpu.ops import binning as binning_ops
     from gsrast_tpu.parallel.mesh import TILE_AXIS
     from gsrast_tpu.parallel.sharded import (_local_tiles_fused,
+                                             _relevance_exchange,
                                              _sharded_prep,
                                              _rows_per_device)
 
     grid_h, grid_w = cfg.grid_shape(camera.height, camera.width)
     rpd = _rows_per_device(grid_h, d)
-    cfg_d = cfg.replace(tiers=binning_ops.shard_tiers(cfg.tiers, d))
+    cfg_d, c_send = _exchange_setup(cfg, d, act.means.shape[0])
 
     def make(stage):
         def shard_fn(g):
             dd = jax.lax.axis_index(TILE_AXIS)
             row0 = dd
-            prep = _sharded_prep(g, camera, cfg, d, TILE_AXIS)
+            if d > 1:
+                prep, _ovf = _relevance_exchange(
+                    g, camera, cfg, d, TILE_AXIS, rpd, True, c_send)
+            else:
+                prep = _sharded_prep(g, camera, cfg, d, TILE_AXIS)
             if stage == "prep":
                 return jnp.sum(prep.mean2d)[None]
             plan = binning_ops.plan_tiers(
@@ -94,7 +115,6 @@ def stage_decomposition(act, camera, cfg, mesh, d, iters):
                 prep, cfg, cfg_d, grid_h, grid_w, rpd, row0, d, cfg.backend)
             return jnp.sum(tiles_rgb)[None]
 
-        in_spec = jax.tree.map(lambda _: jax.sharding.PartitionSpec(), None)
         return jax.jit(shard_map(
             shard_fn, mesh=mesh,
             in_specs=(jax.tree.map(lambda _: P(), act),),
@@ -107,6 +127,62 @@ def stage_decomposition(act, camera, cfg, mesh, d, iters):
         out[stage] = round(t - prev, 1)
         prev = t
     return out
+
+
+def share_control(act, camera, cfg, d, iters):
+    """The de-confounded per-device IDEAL (VERDICT r4 #8): ONE device doing
+    exactly one device's share of the work with zero communication — prep of
+    N/D gaussians (fwd+bwd) + plan/pack/blend of device-0's interleaved row
+    share over the full gaussian set (fwd+bwd). Perfect D-way scaling would
+    hit this time per step, so efficiency = control / measured <= 1 by
+    construction (no more interpret-mode-threading free lunch)."""
+    import jax
+
+    from gsrast_tpu.ops import binning as binning_ops
+    from gsrast_tpu.ops.preprocess import preprocess
+    from gsrast_tpu.render import pallas_pipeline as pp
+    from gsrast_tpu.parallel.sharded import _rows_per_device
+
+    grid_h, grid_w = cfg.grid_shape(camera.height, camera.width)
+    rpd = _rows_per_device(grid_h, d)
+    tpd = rpd * grid_w
+    cfg_d, _ = _exchange_setup(cfg, d, act.means.shape[0])
+    n = act.means.shape[0]
+    nl = n // d
+    act_slice = jax.tree.map(lambda x: x[:nl], act)
+    afloats = {k: getattr(act_slice, k)
+               for k in ("means", "scales", "quats", "opacities", "sh")}
+
+    def prep_loss(floats):
+        p = preprocess(act_slice.replace(**floats), camera, cfg)
+        return (jnp.sum(p.mean2d) + jnp.sum(p.conic) + jnp.sum(p.color)
+                + jnp.sum(p.opacity))
+
+    t_prep = timeit(jax.jit(jax.grad(prep_loss)), afloats, iters=iters)
+
+    prep_full = jax.jit(lambda a: preprocess(a, camera, cfg))(act)
+    jax.block_until_ready(prep_full)
+    pfloats = {k: getattr(prep_full, k)
+               for k in ("mean2d", "conic", "color", "opacity")}
+
+    def rest_loss(pfl, prep):
+        p2 = prep._replace(**pfl)
+        plan = binning_ops.plan_tiers(
+            jax.lax.stop_gradient(p2), grid_h, grid_w, cfg_d,
+            num_local_rows=rpd, row0=0, row_stride=d)
+        feat, ts = pp.fused_pack(
+            pp.feature_rows(p2), plan.tile_key, plan.depth_key, plan.slot,
+            plan.gauss, plan.order, cfg_d.tiers, n, tpd)
+        if cfg.backend == "pallas":
+            rgb, ft, nc = pp._blend(
+                feat, ts, jnp.array([0, d], jnp.int32), grid_h, grid_w,
+                cfg.tile_h, cfg.tile_w, pp._use_interpret(), tpd)
+            return jnp.sum(rgb) + jnp.sum(ft)
+        return jnp.sum(feat)
+
+    t_rest = timeit(jax.jit(jax.grad(rest_loss)), pfloats, prep_full,
+                    iters=iters)
+    return t_prep + t_rest
 
 
 def main():
@@ -129,17 +205,8 @@ def main():
                                              render_primitive_sharded,
                                              render_tile_sharded)
 
-    # Pallas kernels (interpret on CPU) + fused multi-tier binning: the
-    # exact hot path the real chip runs, at representative scale.
-    tiers = ((2, 1.0), (3, 0.95), (4, 0.62), (6, 0.4), (8, 0.22), (16, 0.1),
-             (48, 0.02))
-    cfg = RenderConfig(backend="pallas", tile_h=8, tile_w=64,
-                       max_per_tile=4096, tile_chunk=4,
-                       intersect_capacity_factor=8.0, tiers=tiers)
-    # Primitive path keeps the legacy expansion (its exchange design) but
-    # blends with the PALLAS kernels: the XLA oracle's per-chunk autodiff
-    # residuals at max_per_tile=4096 x 1024 tiles OOM at this scale (136 GB).
-    cfg_prim = cfg.replace(tiers=())
+    from gsrast_tpu.render.api import auto_render_config
+
     scene = random_scene(jax.random.PRNGKey(0), args.n, sh_degree=1,
                          isotropic=False, scale_range=(0.004, 0.015))
     act = scene.activated()
@@ -148,14 +215,31 @@ def main():
         fov_x=jnp.float32(1.2), fov_y=jnp.float32(1.0),
         width=args.width, height=args.height,
     )
+    # Pallas kernels (interpret on CPU) + fused multi-tier binning derived
+    # by the product auto-config (r5): the exact hot path the real chip
+    # runs, at representative scale. The r5 primitive path bins by the same
+    # tier grid (dest-prefixed route keys), so both modes use cfg.tiers.
+    cfg = auto_render_config(scene, camera, "pallas").replace(
+        max_per_tile=4096, tile_chunk=4, intersect_capacity_factor=8.0)
+    cfg_prim = cfg
     pixels = args.width * args.height
     counts = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
     result = {"device_counts": counts, "pixels": pixels,
               "n_gaussians": args.n, "backend": "pallas(interpret)+fused",
-              "modes": {}, "stages_tile_fwd_ms": {}}
+              "modes": {}, "stages_tile_fwd_ms": {},
+              "share_control_ms": {}}
+
+    # De-confounded per-device ideal (VERDICT r4 #8): one device doing one
+    # device's exact share (prep N/D + its interleaved rows) with zero comm.
+    controls = {}
+    for d in counts:
+        controls[d] = share_control(act, camera, cfg, d, args.iters) * 1e3
+        result["share_control_ms"][str(d)] = round(controls[d], 1)
+        print(f"control   D={d}: {controls[d]:8.1f} ms (per-device share)",
+              flush=True)
 
     for mode in ("tile", "primitive"):
-        mpix = []
+        mpix, times = [], []
         for d in counts:
             mesh = make_mesh((1, d), jax.devices()[:d])
             if mode == "tile":
@@ -175,27 +259,33 @@ def main():
                     return jnp.mean(out.image)
                 g = jax.jit(jax.grad(loss))
                 dt = timeit(g, pact.means, iters=args.iters)
+            times.append(dt * 1e3)
             mpix.append(pixels / dt / 1e6)
             print(f"{mode:9s} D={d}: {dt*1e3:8.1f} ms  "
                   f"{mpix[-1]:6.2f} Mpix/s", flush=True)
         eff = [m / (mpix[0] * d) for m, d in zip(mpix, counts)]
         rel = [e * d for e, d in zip(eff, counts)]  # vs ideal-flat 1/D
+        # Defensible efficiency: share-control / measured, <= ~1 by
+        # construction (the control is the same compute with zero comm).
+        eff_ctl = [controls[d] / t for d, t in zip(counts, times)]
         result["modes"][mode] = {
+            "step_ms": [round(t, 1) for t in times],
             "mpix_s": [round(m, 3) for m in mpix],
             "efficiency_vs_1dev": [round(e, 3) for e in eff],
             "vs_ideal_flat": [round(r, 3) for r in rel],
+            "efficiency_vs_share_control": [round(e, 3) for e in eff_ctl],
         }
 
     result["notes"] = (
         "virtual 8-device CPU mesh (one real TPU chip available); ratios "
         "exercise the real sharded paths fwd+bwd with the PALLAS kernels "
-        "(interpret mode) and the fused multi-tier binning. Virtual devices "
-        "SHARE host cores, so flat Mpix/s (efficiency ~ 1/D) is the "
-        "conservative ideal; vs_ideal_flat = efficiency * D, target >= 0.7 "
-        "(VERDICT r3 #2). Values ABOVE 1.0 are real here for two reasons: "
-        "device-scaled tiers do less total work than one big-K single "
-        "device, and interpret-mode Pallas programs are single-threaded "
-        "per device, so D-way sharding also buys host-thread parallelism. "
+        "(interpret mode), the fused multi-tier binning, and (r5) the "
+        "relevance exchange + tier-grid primitive routing. "
+        "efficiency_vs_share_control is the defensible number (VERDICT r4 "
+        "#8): measured step time vs the SAME per-device share computed on "
+        "one device with zero communication — it cannot exceed ~1.0 by "
+        "interpret-mode threading artifacts the way vs_ideal_flat could "
+        "(both are still reported for comparability with r3/r4). "
         "stages_tile_fwd_ms decomposes the tile-mode forward per D "
         "(prefix-timed; entries are stage deltas)."
     )
