@@ -83,11 +83,11 @@ def auto_render_config(
     # high — the fused sort is row-count-bound and rows scale with
     # tiles/gaussian, while the blend's per-pair cost grows only mildly
     # with P (r5: trained-1.1M at 1080p was ~65% pack-sort time at 16x32).
-    # P capped at 1024: the blend BACKWARD's VMEM working set is ~10 KB per
-    # pixel-row; P=2048 measured 20.7 MB against the 16 MB scoped-vmem
-    # limit (compile-time OOM on the real chip).
+    # P capped at 2048: the blend kernels process pixels in P/1024 slices
+    # (pallas_blend._psplit) to stay under the 16 MB scoped-VMEM limit; the
+    # cap bounds the per-chunk slice count at 2.
     while (auto_tile_w and mean_c > 8.0
-           and rcfg.tile_h * rcfg.tile_w < 1024):
+           and rcfg.tile_h * rcfg.tile_w < 2048):
         if rcfg.tile_w <= rcfg.tile_h * 2:
             rcfg = rcfg.replace(tile_w=rcfg.tile_w * 2)
         else:

@@ -102,6 +102,18 @@ _HI = jax.lax.Precision.HIGHEST
 _SUFFIX_MATMUL = os.environ.get("GSRAST_SUFFIX_MATMUL", "1") == "1"
 
 
+def _psplit(p: int) -> int:
+    """Pixel-slice count for a P-pixel tile: both kernels' VMEM working
+    sets are ~10-20 (rows, 128) f32 temporaries, so rows are capped at 1024
+    against the 16 MB scoped-vmem limit (P=2048 single-slice measured
+    20.7 MB at compile time) by processing the tile in P/1024 sequential
+    pixel slices."""
+    assert p % 128 == 0
+    split = max(1, p // 1024)
+    assert p % split == 0
+    return split
+
+
 def _pixel_coords(ty, tx, tile_h: int, tile_w: int):
     """Absolute pixel centers of tile (row ty, col tx) as (P, 1) f32 cols."""
     p = tile_h * tile_w
@@ -177,6 +189,7 @@ def _forward_kernel(
     grid_w: int,
     tile_h: int,
     tile_w: int,
+    psplit: int = 1,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -184,12 +197,15 @@ def _forward_kernel(
     chunk0 = start // CHUNK
     nchunks = jnp.where(end > start, (end + CHUNK - 1) // CHUNK - chunk0, 0)
     p = tile_h * tile_w
+    hp = p // psplit  # pixels per split (static; see blend_forward)
     # Tile-sharded path: local tile t renders the GLOBAL tile at row
     # row0 + local_row*stride (stride = #devices when row ownership is
     # interleaved for load balance), same column.
     px, py = _pixel_coords(
         tmap_ref[0] + (t // grid_w) * tmap_ref[1], t % grid_w, tile_h, tile_w
     )
+    px_h = [px[h * hp:(h + 1) * hp] for h in range(psplit)]
+    py_h = [py[h * hp:(h + 1) * hp] for h in range(psplit)]
     t_f32 = t.astype(jnp.float32)
 
     def get_dma(slot, k):
@@ -209,31 +225,39 @@ def _forward_kernel(
         # crosses in the chunk — was tried in the first r5 cut and REVERTED:
         # measured fwd went 58 -> 62 ms; the predicate reduce + duplicated
         # branch bodies cost more than the ~9 masked ops they saved.)
-        t_carry, acc3, ft, nc = carry
+        # Pixels are processed in `psplit` sequential slices so the VMEM
+        # working set stays ~(P/psplit, 128) regardless of tile area (the
+        # 16 MB scoped-vmem limit caps a single-slice tile at P=1024).
         f = buf[slot]  # (FROWS, 128)
-        _, _, _, _, _, _, _, alpha, ok, mine = _alpha_terms(f, px, py, t_f32)
-        a_eff = jnp.where(ok, alpha, 0.0)
-        cum = _cumprod_lanes(1.0 - a_eff)  # inclusive (P, 128)
-        t_before = t_carry * _shift_lanes(cum, 1, 1.0)
-        test_t = t_carry * cum
-        # include = P_i >= T_min is monotone along lanes; already-saturated
-        # pixels have include all-False, so their ft/nc stay frozen.
-        include = test_t >= cfg.TRANSMITTANCE_MIN
-        w = jnp.where(include, a_eff * t_before, 0.0)
-        # The THREE rgb rows only: f[6:9] (3, 128) @ w^T (128, P).
-        acc3 = acc3 + jax.lax.dot_general(
-            f[F_R : F_B + 1, :], w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )
-        ft = jnp.minimum(
-            ft,
-            jnp.min(jnp.where(include, test_t, 2.0), axis=1, keepdims=True),
-        )
-        nc = nc + jnp.sum(
-            jnp.where(include & mine, 1.0, 0.0), axis=1, keepdims=True)
-        # cum is monotone non-increasing: its last lane is the full product.
-        t_exit = t_carry * cum[:, CHUNK - 1 :]
-        return t_exit, acc3, ft, nc
+        out = []
+        for h in range(psplit):
+            t_carry, acc3, ft, nc = carry[h]
+            _, _, _, _, _, _, _, alpha, ok, mine = _alpha_terms(
+                f, px_h[h], py_h[h], t_f32)
+            a_eff = jnp.where(ok, alpha, 0.0)
+            cum = _cumprod_lanes(1.0 - a_eff)  # inclusive (hp, 128)
+            t_before = t_carry * _shift_lanes(cum, 1, 1.0)
+            test_t = t_carry * cum
+            # include = P_i >= T_min is monotone along lanes; saturated
+            # pixels have include all-False, so their ft/nc stay frozen.
+            include = test_t >= cfg.TRANSMITTANCE_MIN
+            w = jnp.where(include, a_eff * t_before, 0.0)
+            # The THREE rgb rows only: f[6:9] (3, 128) @ w^T (128, hp).
+            acc3 = acc3 + jax.lax.dot_general(
+                f[F_R : F_B + 1, :], w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_HI,
+            )
+            ft = jnp.minimum(
+                ft,
+                jnp.min(jnp.where(include, test_t, 2.0), axis=1,
+                        keepdims=True),
+            )
+            nc = nc + jnp.sum(
+                jnp.where(include & mine, 1.0, 0.0), axis=1, keepdims=True)
+            # cum is monotone non-increasing: last lane = full product.
+            t_exit = t_carry * cum[:, CHUNK - 1 :]
+            out.append((t_exit, acc3, ft, nc))
+        return tuple(out)
 
     def chunk_body(k, carry):
         # Keep the DMA pipeline moving even for saturated tiles so the
@@ -246,18 +270,27 @@ def _forward_kernel(
 
         get_dma(slot, k).wait()
 
-        done = jnp.max(carry[0]) < cfg.TRANSMITTANCE_MIN
+        t_max = jnp.max(carry[0][0])
+        for h in range(1, psplit):
+            t_max = jnp.maximum(t_max, jnp.max(carry[h][0]))
+        done = t_max < cfg.TRANSMITTANCE_MIN
         return jax.lax.cond(
             done, lambda c: c, functools.partial(live_body, k, slot), carry
         )
 
-    init = (
-        jnp.ones((p, 1), jnp.float32),  # running T
-        jnp.zeros((3, p), jnp.float32),  # rgb accumulator
-        jnp.ones((p, 1), jnp.float32),  # final_T (frozen at last include)
-        jnp.zeros((p, 1), jnp.float32),  # n_contrib (count of included)
+    init = tuple(
+        (
+            jnp.ones((hp, 1), jnp.float32),  # running T
+            jnp.zeros((3, hp), jnp.float32),  # rgb accumulator
+            jnp.ones((hp, 1), jnp.float32),  # final_T
+            jnp.zeros((hp, 1), jnp.float32),  # n_contrib
+        )
+        for _ in range(psplit)
     )
-    _, acc3, ft, nc = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+    fin = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+    acc3 = jnp.concatenate([fin[h][1] for h in range(psplit)], axis=1)
+    ft = jnp.concatenate([fin[h][2] for h in range(psplit)], axis=0)
+    nc = jnp.concatenate([fin[h][3] for h in range(psplit)], axis=0)
     # One small (P, 2) -> (2, P) relayout per tile moves ft/nc into rows.
     ftnc = jnp.transpose(jnp.concatenate([ft, nc], axis=1), (1, 0))
     out_ref[0] = jnp.concatenate(
@@ -299,7 +332,8 @@ def blend_forward(
     )
     return pl.pallas_call(
         functools.partial(
-            _forward_kernel, grid_w=grid_w, tile_h=tile_h, tile_w=tile_w
+            _forward_kernel, grid_w=grid_w, tile_h=tile_h, tile_w=tile_w,
+            psplit=_psplit(p),
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -322,6 +356,8 @@ def _backward_kernel(
     buf,  # VMEM (2, FROWS, 128) read buffer
     obuf,  # VMEM (2, FROWS, 128) write buffer
     rbuf,  # VMEM (FROWS, 128): neighbor's grads for shared-chunk accumulate
+    aux_sc,  # VMEM (P, 8): per-pixel aux columns, pixels in sublanes
+    tq_sc,  # VMEM (P, 2): col 0 = running T_after, col 1 = suffix q carry
     sems,  # DMA sems (2,) reads
     osems,  # DMA sems (2,) writes
     rsem,  # DMA sem for the shared-chunk read
@@ -329,6 +365,7 @@ def _backward_kernel(
     grid_w: int,
     tile_h: int,
     tile_w: int,
+    psplit: int = 1,
 ):
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -340,20 +377,24 @@ def _backward_kernel(
     # tile must accumulate rather than overwrite.
     shared_first = start % CHUNK != 0
     p = tile_h * tile_w
-    px, py = _pixel_coords(
-        tmap_ref[0] + (t // grid_w) * tmap_ref[1], t % grid_w, tile_h, tile_w
-    )
+    hp = p // psplit  # pixels per slice (static; see _psplit)
+    ty_g = tmap_ref[0] + (t // grid_w) * tmap_ref[1]  # global tile row
+    tx_g = t % grid_w
     t_f32 = t.astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     # One small (8, P) -> (P, 8) relayout per tile moves the aux rows into
-    # the kernel's pixels-in-sublanes orientation.
+    # the kernel's pixels-in-sublanes orientation. Per-pixel state lives in
+    # VMEM SCRATCH (aux columns + the replay carries) and each pixel slice
+    # reads/writes its rows through dynamic ref slices inside a fori_loop —
+    # a statically-unrolled slice loop was tried first and still VMEM-OOMed
+    # at P=2048 (Mosaic keeps every unrolled slice's temporaries live:
+    # 18.9 MB vs the 16 MB scoped limit); the fori body compiles once, so
+    # only ONE slice's (hp, 128) working set exists.
     aux = jnp.transpose(aux_ref[0], (1, 0))  # (P, 8)
-    dc_r = aux[:, A_DR : A_DR + 1]
-    dc_g = aux[:, A_DG : A_DG + 1]
-    dc_b = aux[:, A_DB : A_DB + 1]
-    dft_ft = aux[:, A_DFT : A_DFT + 1] * aux[:, A_FT : A_FT + 1]  # (P, 1)
-    final_t = aux[:, A_FT : A_FT + 1]
+    aux_sc[:, :] = aux
+    tq_sc[:, :] = jnp.concatenate(
+        [aux[:, A_FT : A_FT + 1], jnp.zeros((p, 1), jnp.float32)], axis=1)
     nc = aux[:, A_NC : A_NC + 1]  # f32, exact
 
     # Chunks entirely past the tile's last contributor have zero gradient
@@ -366,17 +407,6 @@ def _backward_kernel(
         ncm > 0, (start + ncm - 1) // CHUNK - chunk0 + 1, 0
     )
     nchunks_live = jnp.minimum(nchunks, nchunks_live)
-
-    # The rgb gradient rows are the pixel-sums sum_p dc_c[p] * w[p, l]: one
-    # MXU contraction against the loop-invariant (3, P) cotangent basis
-    # replaces three sublane reductions and their (P, 128) products. (The
-    # same trick algebraically rearranged for the dpower-derived rows —
-    # d_mx = -ca*(mx*M0 - Mx) etc. — was tried in r4 and REVERTED: dpower
-    # is sign-varying, so the rearranged sums cancel ~3 decimal digits and
-    # sharded gradcheck fails at 1e-4; the rgb form below is the SAME
-    # summation as the direct reduction, no rearrangement, bit-safe.)
-    d3 = jnp.transpose(
-        jnp.concatenate([dc_r, dc_g, dc_b], axis=1), (1, 0))  # (3, P)
 
     def get_read(slot, k):
         return pltpu.make_async_copy(
@@ -428,7 +458,6 @@ def _backward_kernel(
 
         get_read(slot, k).wait()
 
-        t_after, q_carry = carry  # (P,1): T after this chunk; sum of u*w after
         f = buf[slot]
         # Write pipelining (r5): obuf[slot] still has an in-flight DMA from
         # chunk k+2 (same slot, started two iterations ago); wait for it
@@ -439,80 +468,104 @@ def _backward_kernel(
         def _():
             get_write(slot, k + 2).wait()
 
-        dx, dy, ca, cb, cc, gv, og, alpha, ok, _mine = _alpha_terms(
-            f, px, py, t_f32)
-        # 0-based index within the segment (n_contrib gates the stopped tail).
+        # 0-based index within the segment (n_contrib gates the stopped
+        # tail). Pixels are processed in `psplit` sequential slices (see
+        # _psplit); per-chunk gradient rows SUM across slices before the
+        # single obuf write, and the replay carries (t_after, q) live in
+        # the tq_sc scratch. The summation order over pixels changes with
+        # psplit only between slices of DIFFERENT pixels — each (1, 128)
+        # gradient row remains the same per-pixel terms added in
+        # sublane-major order within each slice.
         idxv = ((chunk0 + k) * CHUNK + lane - start).astype(jnp.float32)
-        applied = ok & (idxv < nc)
-        a_m = jnp.where(applied, alpha, 0.0)
-        om = 1.0 - a_m  # >= 1 - ALPHA_MAX = 0.01
-        cum = _cumprod_lanes(om)
-        # cum is monotone non-increasing: its last lane == full chunk product.
-        t_start = t_after / cum[:, CHUNK - 1 :]
-        t_g = t_start * _shift_lanes(cum, 1, 1.0)  # T before gaussian g
-        w = a_m * t_g
 
-        # u = dc . color per (pixel, gaussian): 5 broadcast VPU ops. (An MXU
-        # contraction of the (3, P) cotangent basis against the rgb rows was
-        # tried in the first r5 cut and REVERTED: K=3 at HIGHEST precision
-        # issues the same 24 MXU passes as a full 128-K matmul, and the
-        # measured bwd went 85 -> 98 ms.)
-        u = (
-            dc_r * f[F_R : F_R + 1, :]
-            + dc_g * f[F_G : F_G + 1, :]
-            + dc_b * f[F_B : F_B + 1, :]
-        )  # (P, 128)
-        uw = u * w
-        # dC/dalpha_i = T_i (c_i - S_i) with S the suffix blend; in closed
-        # form T_g·(dc·S) = (Σ_{h>g} u_h w_h) / (1 - a_g). r5: a 7-step
-        # Hillis-Steele suffix scan along lanes (exact f32 adds) replaces
-        # the r2-r4 (128,128) strictly-lower-mask MXU matmul — at HIGHEST
-        # precision that matmul cost as much as the whole chunk's VPU work.
-        # Its first lane is the chunk total, feeding q_carry for free.
-        if _SUFFIX_MATMUL:
-            hh = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-            gg = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-            suffix = jax.lax.dot_general(
-                uw, (hh > gg).astype(jnp.float32), (((1,), (0,)), ((), ())),
+        def slice_body(h, g_rows):
+            sl = h * hp
+            auxh = aux_sc[pl.ds(sl, hp), :]  # (hp, 8)
+            tq = tq_sc[pl.ds(sl, hp), :]     # (hp, 2)
+            t_after = tq[:, 0:1]
+            q_carry = tq[:, 1:2]
+            nch = auxh[:, A_NC : A_NC + 1]
+            dftfth = auxh[:, A_DFT : A_DFT + 1] * auxh[:, A_FT : A_FT + 1]
+            pidx = sl + jax.lax.broadcasted_iota(jnp.int32, (hp, 1), 0)
+            prow = pidx // tile_w
+            pxh = (tx_g * tile_w + pidx - prow * tile_w).astype(jnp.float32)
+            pyh = (ty_g * tile_h + prow).astype(jnp.float32)
+            dx, dy, ca, cb, cc, gv, og, alpha, ok, _mine = _alpha_terms(
+                f, pxh, pyh, t_f32)
+            applied = ok & (idxv < nch)
+            a_m = jnp.where(applied, alpha, 0.0)
+            om = 1.0 - a_m  # >= 1 - ALPHA_MAX = 0.01
+            cum = _cumprod_lanes(om)
+            # cum is monotone non-increasing: last lane == chunk product.
+            t_start = t_after / cum[:, CHUNK - 1 :]
+            t_g = t_start * _shift_lanes(cum, 1, 1.0)  # T before gaussian
+            w = a_m * t_g
+
+            # u = dc . color per (pixel, gaussian): 5 broadcast VPU ops.
+            # (An MXU contraction with K=3 at HIGHEST precision issues the
+            # same 24 passes as a full 128-K matmul; measured 85 -> 98 ms.)
+            u = (
+                auxh[:, A_DR : A_DR + 1] * f[F_R : F_R + 1, :]
+                + auxh[:, A_DG : A_DG + 1] * f[F_G : F_G + 1, :]
+                + auxh[:, A_DB : A_DB + 1] * f[F_B : F_B + 1, :]
+            )  # (hp, 128)
+            uw = u * w
+            # dC/dalpha_i = T_i (c_i - S_i) with S the suffix blend; in
+            # closed form T_g·(dc·S) = (Σ_{h>g} u_h w_h) / (1 - a_g). ONE
+            # strictly-lower-mask MXU matmul (A/B-measured against a
+            # 7-step Hillis-Steele lane scan, which LOST 74 vs 64 ms bwd).
+            if _SUFFIX_MATMUL:
+                hh = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+                gg = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+                suffix = jax.lax.dot_general(
+                    uw, (hh > gg).astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )
+                chunk_tot = suffix[:, 0:1] + uw[:, 0:1]
+            else:
+                s_inc = _suffix_sum_lanes(uw)  # lane l = sum_{g >= l}
+                suffix = _shift_lanes_left(s_inc, 1, 0.0)  # exclusive
+                chunk_tot = s_inc[:, 0:1]
+            dalpha = t_g * u - (suffix + q_carry + dftfth) / om
+            dalpha = jnp.where(applied, dalpha, 0.0)
+            # alpha = min(0.99, o·G): clamped branch has zero gradient.
+            da_g = jnp.where(og < cfg.ALPHA_MAX, dalpha, 0.0)
+            dpower = da_g * og
+
+            # Per-feature gradients: direct sublane reductions of the
+            # dpower moments against the LANE-VARYING dx/dy (order-faithful
+            # sums; factoring the per-lane conic constants ca/cb/cc OUT of
+            # the pixel sums is a scalar multiple, not a rearrangement, so
+            # it cannot cancel), one MXU contraction of the (hp, 3) dc
+            # cotangent block against w for the three rgb rows.
+            dpx = dpower * dx
+            dpy = dpower * dy
+            sx = jnp.sum(dpx, axis=0, keepdims=True)   # (1, 128)
+            sy = jnp.sum(dpy, axis=0, keepdims=True)
+            m3 = jax.lax.dot_general(
+                auxh[:, A_DR : A_DB + 1], w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=_HI,
+            )  # (3, 128): [sum w*dc_r, sum w*dc_g, sum w*dc_b]
+            rows = (
+                -(ca * sx + cb * sy),
+                -(cc * sy + cb * sx),
+                -0.5 * jnp.sum(dpx * dx, axis=0, keepdims=True),
+                -jnp.sum(dpx * dy, axis=0, keepdims=True),
+                -0.5 * jnp.sum(dpy * dy, axis=0, keepdims=True),
+                jnp.sum(da_g * gv, axis=0, keepdims=True),
+                m3[0:1, :], m3[1:2, :], m3[2:3, :],
             )
-            chunk_tot = suffix[:, 0:1] + uw[:, 0:1]
-        else:
-            s_inc = _suffix_sum_lanes(uw)  # inclusive: lane l = sum_{h >= l}
-            suffix = _shift_lanes_left(s_inc, 1, 0.0)  # exclusive
-            chunk_tot = s_inc[:, 0:1]
-        dalpha = t_g * u - (suffix + q_carry + dft_ft) / om
-        dalpha = jnp.where(applied, dalpha, 0.0)
-        # alpha = min(0.99, o·G): clamped branch has zero gradient.
-        da_g = jnp.where(og < cfg.ALPHA_MAX, dalpha, 0.0)
-        dpower = da_g * og
+            tq_sc[pl.ds(sl, hp), :] = jnp.concatenate(
+                [t_start, q_carry + chunk_tot], axis=1)
+            return tuple(a + b for a, b in zip(g_rows, rows))
 
-        # Per-feature gradients: direct sublane reductions of the dpower
-        # moments against the LANE-VARYING dx/dy (order-faithful sums — see
-        # the d3 note above; factoring the per-lane conic constants ca/cb/cc
-        # OUT of the pixel sums is a scalar multiple, not a rearrangement,
-        # so it cannot cancel), one MXU contraction for the three rgb rows.
-        dpx = dpower * dx
-        dpy = dpower * dy
-        sx = jnp.sum(dpx, axis=0, keepdims=True)   # (1, 128)
-        sy = jnp.sum(dpy, axis=0, keepdims=True)
-        obuf[slot, F_MX : F_MX + 1, :] = -(ca * sx + cb * sy)
-        obuf[slot, F_MY : F_MY + 1, :] = -(cc * sy + cb * sx)
-        obuf[slot, F_CA : F_CA + 1, :] = -0.5 * jnp.sum(
-            dpx * dx, axis=0, keepdims=True)
-        obuf[slot, F_CB : F_CB + 1, :] = -jnp.sum(
-            dpx * dy, axis=0, keepdims=True)
-        obuf[slot, F_CC : F_CC + 1, :] = -0.5 * jnp.sum(
-            dpy * dy, axis=0, keepdims=True)
-        obuf[slot, F_OP : F_OP + 1, :] = jnp.sum(
-            da_g * gv, axis=0, keepdims=True)
-        m3 = jax.lax.dot_general(
-            d3, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )  # (3, 128): [sum w*dc_r, sum w*dc_g, sum w*dc_b]
-        obuf[slot, F_R : F_R + 1, :] = m3[0:1, :]
-        obuf[slot, F_G : F_G + 1, :] = m3[1:2, :]
-        obuf[slot, F_B : F_B + 1, :] = m3[2:3, :]
+        g_rows = jax.lax.fori_loop(
+            0, psplit, slice_body,
+            tuple(jnp.zeros((1, CHUNK), jnp.float32) for _ in range(9)),
+        )
+        for r, row in enumerate(g_rows):
+            obuf[slot, r : r + 1, :] = row
 
         # Shared first chunk: accumulate into the earlier tile's block.
         @pl.when((k == 0) & shared_first)
@@ -526,11 +579,9 @@ def _backward_kernel(
 
         get_write(slot, k).start()
 
-        q_carry = q_carry + chunk_tot
-        return t_start, q_carry
+        return 0
 
-    init = (final_t, jnp.zeros((p, 1), jnp.float32))
-    jax.lax.fori_loop(0, nchunks_live, chunk_body, init)
+    jax.lax.fori_loop(0, nchunks_live, chunk_body, 0)
 
     # Drain the last (up to two) in-flight writes — chunks 1 and 0, slots 1
     # and 0 — so the NEXT grid step's shared-boundary read of dfeat_ref sees
@@ -574,6 +625,8 @@ def blend_backward(
             pltpu.VMEM((2, FROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, FROWS, CHUNK), jnp.float32),
             pltpu.VMEM((FROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((p, 8), jnp.float32),   # aux columns (pixel-major)
+            pltpu.VMEM((p, 2), jnp.float32),   # replay carries (T_after, q)
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
@@ -581,7 +634,8 @@ def blend_backward(
     )
     return pl.pallas_call(
         functools.partial(
-            _backward_kernel, grid_w=grid_w, tile_h=tile_h, tile_w=tile_w
+            _backward_kernel, grid_w=grid_w, tile_h=tile_h, tile_w=tile_w,
+            psplit=_psplit(p),
         ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((FROWS, cap), jnp.float32)],

@@ -224,8 +224,11 @@ def main():
     cfg_prim = cfg
     pixels = args.width * args.height
     counts = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
+    import os as _os
+
     result = {"device_counts": counts, "pixels": pixels,
               "n_gaussians": args.n, "backend": "pallas(interpret)+fused",
+              "host_cores": _os.cpu_count(),
               "modes": {}, "stages_tile_fwd_ms": {},
               "share_control_ms": {}}
 

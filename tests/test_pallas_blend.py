@@ -83,6 +83,43 @@ class TestPallasForward:
         np.testing.assert_allclose(pal.image, xla.image, atol=3e-6)
 
 
+class TestPixelSplit:
+    """P > 1024 tiles run the kernels' pixel-slice path (psplit=2, r5):
+    image, final_t, n_contrib and gradients must match the XLA oracle
+    exactly like the single-slice path does."""
+
+    def test_psplit2_forward_and_grads(self, scene_aniso):
+        cam = make_camera(128, 64)  # 2x2 grid of 32x64 tiles (P=2048)
+        cfg = pallas_cfg(tile_h=32, tile_w=64,
+                         tiers=((2, 1.0), (8, 0.5), (32, 0.25)))
+        from gsrast_tpu.render.pallas_blend import _psplit
+
+        assert _psplit(cfg.tile_h * cfg.tile_w) == 2
+        xla = render_tiled_xla(scene_aniso.activated(), cam, cfg)
+        pal = render_tiled_pallas(scene_aniso.activated(), cam, cfg)
+        np.testing.assert_allclose(pal.image, xla.image, atol=3e-6)
+        np.testing.assert_allclose(pal.final_t, xla.final_t, atol=3e-6)
+        np.testing.assert_array_equal(pal.n_contrib, xla.n_contrib)
+
+        params, mask = split_params(scene_aniso)
+        target = jnp.full((64, 128, 3), 0.25)
+
+        def loss(p, renderer):
+            scene = merge_params(p, mask)
+            out = renderer(scene.activated(), cam, cfg)
+            return (jnp.mean((out.image - target) ** 2)
+                    + 0.1 * jnp.mean(out.final_t))
+
+        g_pal = jax.grad(lambda p: loss(p, render_tiled_pallas))(params)
+        g_xla = jax.grad(lambda p: loss(p, render_tiled_xla))(params)
+        for name in params:
+            a, b = g_pal[name], g_xla[name]
+            scale = max(float(jnp.max(jnp.abs(b))), 1e-8)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=2e-5,
+                err_msg=f"psplit=2 grad mismatch: {name}")
+
+
 class TestPallasBackward:
     def test_grads_match_xla_autodiff(self, scene_aniso):
         cam = make_camera()
